@@ -1,0 +1,158 @@
+"""Extended Kalman Filter with pluggable models and AD Jacobians.
+
+Capability parity with reference ``models/extended_kalman_filter.py``:
+``EKFState`` (:24), ``ExtendedKalmanFilter`` (:110) with ``predict`` (:164),
+``update`` (:196), ``step`` (:243), optional Joseph-stabilized update and
+innovation jitter.
+
+TPU-native differences:
+- Default Jacobians come from ``jax.jacfwd`` (exact forward-mode AD) instead
+  of the reference's 1e-6 finite differences (:43-107); finite-difference
+  versions are kept for API parity / cross-checks.
+- The gain uses a Cholesky solve instead of ``np.linalg.inv(S)`` (reference
+  :228) — strictly more stable and cheaper.
+- ``run`` drives a whole observation sequence through one ``lax.scan``.
+All methods are pure (state in, state out) so they jit/vmap/scan freely.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.structs import pytree_dataclass
+
+
+@pytree_dataclass
+class EKFState:
+    """Posterior (mean, cov) at discrete time t (reference ``EKFState`` :24)."""
+
+    mean: jax.Array  # (nx,)
+    cov: jax.Array  # (nx, nx)
+    t: jax.Array  # scalar int32
+
+
+def make_ekf_state(mean, cov, t: int = 0) -> EKFState:
+    mean = jnp.asarray(mean)
+    return EKFState(
+        mean=mean, cov=jnp.asarray(cov), t=jnp.asarray(t, jnp.int32)
+    )
+
+
+def numerical_jacobian_g(g, x, u, eps: float = 1e-3) -> jax.Array:
+    """Forward-difference Jacobian of g(x, u) w.r.t. x — parity with reference
+    :43; vectorized over the perturbation axis instead of a Python loop.
+    Default eps is 1e-3, near-optimal for float32 forward differences (the
+    reference's 1e-6 assumes float64 and would lose ~3 digits here)."""
+    x = jnp.asarray(x)
+    y0 = g(x, u)
+    E = eps * jnp.eye(x.shape[0], dtype=x.dtype)
+    ys = jax.vmap(lambda dx: g(x + dx, u))(E)  # (nx, ny)
+    return ((ys - y0) / eps).T
+
+
+def numerical_jacobian_h(h, x, eps: float = 1e-3) -> jax.Array:
+    """Forward-difference Jacobian of h(x) (reference :78)."""
+    x = jnp.asarray(x)
+    z0 = h(x)
+    E = eps * jnp.eye(x.shape[0], dtype=x.dtype)
+    zs = jax.vmap(lambda dx: h(x + dx))(E)
+    return ((zs - z0) / eps).T
+
+
+class ExtendedKalmanFilter:
+    """EKF for additive Gaussian noise:
+
+        x_k = g(x_{k−1}, u_{k−1}) + w,  w ~ N(0, Q)
+        z_k = h(x_k) + v,               v ~ N(0, R)
+
+    ``g``, ``h`` must be JAX-traceable. ``jac_g`` / ``jac_h`` default to
+    ``jax.jacfwd`` of the models.
+    """
+
+    def __init__(
+        self,
+        g: Callable,
+        h: Callable,
+        Q,
+        R,
+        jac_g: Optional[Callable] = None,
+        jac_h: Optional[Callable] = None,
+        *,
+        joseph: bool = False,
+        jitter: float = 0.0,
+    ) -> None:
+        self.g = g
+        self.h = h
+        self.Q = jnp.asarray(Q)
+        self.R = jnp.asarray(R)
+        nx = self.Q.shape[0]
+        nz = self.R.shape[0]
+        if self.Q.shape != (nx, nx):
+            raise ValueError("Q must be square.")
+        if self.R.shape != (nz, nz):
+            raise ValueError("R must be square.")
+        self.nx, self.nz = nx, nz
+        self.jac_g = jac_g if jac_g is not None else jax.jacfwd(g, argnums=0)
+        self.jac_h = jac_h if jac_h is not None else jax.jacfwd(h)
+        self.joseph = bool(joseph)
+        self.jitter = float(jitter)
+
+    # ------------------------- core EKF ops -------------------------
+
+    def predict(self, state: EKFState, u=None) -> EKFState:
+        """Time update: x⁻ = g(x, u), P⁻ = G P Gᵀ + Q (reference :164)."""
+        x_pred = self.g(state.mean, u)
+        G = self.jac_g(state.mean, u)
+        P_pred = G @ state.cov @ G.T + self.Q
+        return EKFState(mean=x_pred, cov=P_pred, t=state.t + 1)
+
+    def update(self, pred: EKFState, z) -> EKFState:
+        """Measurement update (reference :196); gain via Cholesky solve."""
+        z = jnp.asarray(z)
+        H = self.jac_h(pred.mean)
+        z_pred = self.h(pred.mean)
+        y = z - z_pred
+        S = H @ pred.cov @ H.T + self.R
+        if self.jitter > 0.0:
+            S = S + self.jitter * jnp.eye(self.nz, dtype=S.dtype)
+        L = chol_with_jitter(S)
+        K = jax.scipy.linalg.cho_solve((L, True), (pred.cov @ H.T).T).T
+
+        x_post = pred.mean + K @ y
+        I = jnp.eye(self.nx, dtype=pred.cov.dtype)
+        if self.joseph:
+            A = I - K @ H
+            P_post = A @ pred.cov @ A.T + K @ self.R @ K.T
+        else:
+            P_post = (I - K @ H) @ pred.cov
+        return EKFState(mean=x_post, cov=symmetrize(P_post), t=pred.t)
+
+    def step(self, state: EKFState, z, u=None) -> EKFState:
+        """Predict then update (reference :243)."""
+        return self.update(self.predict(state, u=u), z)
+
+    def run(self, state0: EKFState, zs: jax.Array, us: Optional[jax.Array] = None):
+        """Filter a whole observation sequence (T, nz) in one ``lax.scan``.
+
+        Returns the final state and the stacked per-step posteriors
+        (means (T, nx), covs (T, nx, nx)).
+        """
+        if us is None:
+            def body(s, z):
+                s = self.step(s, z)
+                return s, (s.mean, s.cov)
+
+            final, (means, covs) = lax.scan(body, state0, zs)
+        else:
+            def body(s, zu):
+                z, u = zu
+                s = self.step(s, z, u=u)
+                return s, (s.mean, s.cov)
+
+            final, (means, covs) = lax.scan(body, state0, (zs, us))
+        return final, means, covs

@@ -1,0 +1,233 @@
+"""EKF/UKF-assisted LEDH (Local EDH) particle-flow particle filter.
+
+Capability parity with reference ``models/LEDH_particle_filter.py``:
+``LEDHConfig`` (:44), ``LEDHFlowPF`` (:60) — per-particle linearization
+Hⁱ = Jh(ηⁱ) (:142-145), per-particle flow matrices Aⁱ, bⁱ (:149-165),
+per-particle Euler migration of both ηⁱ and the auxiliary path ȳⁱ
+(:168-171), log-det-Jacobian accumulation θⁱ via slogdet(I + εAⁱ)
+(:173-179), invertible weights w ∝ w·θ·p(z|x)p(x|x₋)/p(η₀|x₋) (:184-195),
+tracker update, optional ESS resampling.
+
+TPU-native design: the reference's nested λ×N Python loop (:136-179 —
+the reason LEDH runs 330× slower than EDH in BASELINE.md) becomes an exact
+``vmap`` over particles inside a ``lax.scan`` over λ: batched (nz, nz)
+Cholesky solves and batched slogdet on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.structs import pytree_dataclass, static_field
+from particle_filters_tpu.core.weights import (
+    ess_from_logw,
+    log_normalize,
+    uniform_logw,
+    weighted_mean_cov,
+)
+from particle_filters_tpu.models.edh_particle_filter import FlowPFState
+from particle_filters_tpu.models.trackers import GaussianTracker, TrackerState
+from particle_filters_tpu.resampling.hard import systematic_resample_values
+
+
+@pytree_dataclass
+class LEDHConfig:
+    """Reference ``LEDHConfig`` (:44-49)."""
+
+    n_particles: int = static_field(default=512)
+    n_lambda_steps: int = static_field(default=8)
+    resample_ess_ratio: float = static_field(default=0.0)
+
+
+class LEDHFlowPF:
+    """Local EDH flow PF (per-particle linearization). Constructor mirrors
+    the reference (:64-81): ``g(x, u, v)``, ``h(x)``, ``jacobian_h(x)``,
+    ``log_trans_pdf``, ``log_like_pdf``, ``R``, tracker, config."""
+
+    def __init__(
+        self,
+        tracker: GaussianTracker,
+        g: Callable,
+        h: Callable,
+        jacobian_h: Callable,
+        log_trans_pdf: Callable,
+        log_like_pdf: Callable,
+        R,
+        config: Optional[LEDHConfig] = None,
+    ) -> None:
+        self.tracker = tracker
+        self.g = g
+        self.h = h
+        self.Jh = jacobian_h
+        self.log_trans_pdf = log_trans_pdf
+        self.log_like_pdf = log_like_pdf
+        self.R = jnp.asarray(R)
+        self.cfg = config or LEDHConfig()
+        self.LR = chol_with_jitter(self.R, initial=1e-10)
+
+    def init_from_gaussian(self, key: jax.Array, mean0, cov0) -> FlowPFState:
+        """Particles ~ N(mean0, cov0), uniform weights (reference :84)."""
+        mean0 = jnp.asarray(mean0)
+        n = self.cfg.n_particles
+        L = chol_with_jitter(jnp.asarray(cov0))
+        particles = (
+            mean0 + jax.random.normal(key, (n, mean0.shape[0]), mean0.dtype) @ L.T
+        )
+        logw = uniform_logw(n, mean0.dtype)
+        mean, cov = weighted_mean_cov(particles, logw)
+        return FlowPFState(
+            particles=particles,
+            weights=jnp.exp(logw),
+            log_weights=logw,
+            mean=mean,
+            cov=cov,
+            diagnostics={
+                "condition_numbers": jnp.zeros(
+                    (self.cfg.n_lambda_steps,), mean0.dtype
+                )
+            },
+        )
+
+    def _per_particle_flow(self, lam, dlam, eta_i, etabar_i, eta0_i, P, z, I):
+        """Aⁱ, bⁱ, migrations and log-det increment for ONE particle
+        (reference λ-loop body :140-179); vmapped over particles."""
+        Hi = self.Jh(eta_i)
+        ei = self.h(eta_i) - Hi @ eta_i
+        Si = lam * (Hi @ P @ Hi.T) + self.R
+        LSi = chol_with_jitter(Si, initial=1e-8)
+        Si_inv_Hi = jax.scipy.linalg.cho_solve((LSi, True), Hi)
+        Ai = -0.5 * P @ Hi.T @ Si_inv_Hi
+        Rin_innov = jax.scipy.linalg.cho_solve((self.LR, True), z - ei)
+        bi = (I + 2.0 * lam * Ai) @ (
+            (I + lam * Ai) @ (P @ Hi.T @ Rin_innov) + Ai @ eta0_i
+        )
+        etabar_new = etabar_i + dlam * (Ai @ etabar_i + bi)
+        eta_new = eta_i + dlam * (Ai @ eta_i + bi)
+        # θ accumulation: log|det(I + εAⁱ)| with jitter fallback (:173-179)
+        M = I + dlam * Ai
+        sign, logdet = jnp.linalg.slogdet(M)
+        sign2, logdet2 = jnp.linalg.slogdet(M + 1e-12 * I)
+        logdet = jnp.where(sign > 0, logdet, logdet2)
+        # cond(Sⁱ) diagnostic (reference records particle 0 only)
+        ev = jnp.linalg.eigvalsh(symmetrize(Si))
+        cond = jnp.abs(ev[-1]) / jnp.maximum(jnp.abs(ev[0]), 1e-30)
+        return eta_new, etabar_new, logdet, cond
+
+    def step(
+        self,
+        key: jax.Array,
+        state: FlowPFState,
+        tracker_state: TrackerState,
+        z,
+        u=None,
+        process_noise_sampler: Optional[Callable] = None,
+    ) -> Tuple[FlowPFState, TrackerState]:
+        """One LEDH step (reference ``step`` :93-211)."""
+        z = jnp.asarray(z)
+        n, nx = state.particles.shape
+        I = jnp.eye(nx, dtype=state.particles.dtype)
+        k_noise, k_res = jax.random.split(key)
+
+        ts, m_pred, P = self.tracker.predict(tracker_state, u=u)
+        P = symmetrize(P)
+
+        if process_noise_sampler is None:
+            v = jnp.zeros((n, nx), state.particles.dtype)
+        else:
+            v = process_noise_sampler(k_noise, n, nx)
+        eta0 = jax.vmap(lambda x, vi: self.g(x, u, vi))(state.particles, v)
+
+        n_steps = max(1, int(self.cfg.n_lambda_steps))
+        dlam = 1.0 / n_steps
+        lams = jnp.minimum(
+            (jnp.arange(n_steps, dtype=state.particles.dtype) + 1) * dlam, 1.0
+        )
+
+        flow_batched = jax.vmap(
+            self._per_particle_flow, in_axes=(None, None, 0, 0, 0, None, None, None)
+        )
+
+        def flow_step(carry, lam):
+            eta, etabar, theta_log = carry
+            eta_new, etabar_new, logdets, conds = flow_batched(
+                lam, dlam, eta, etabar, eta0, P, z, I
+            )
+            return (eta_new, etabar_new, theta_log + logdets), conds[0]
+
+        # ȳ₀ⁱ = η₀ⁱ (strict LEDH, reference :117-121); θ = 1 (log 0).
+        (eta, _, theta_log), conds = lax.scan(
+            flow_step,
+            (eta0, eta0, jnp.zeros((n,), state.particles.dtype)),
+            lams,
+        )
+        xk = eta
+
+        # Weights w ∝ w·θ·p(z|x)p(x|x₋)/p(η₀|x₋) (reference :184-195)
+        log_corr = jax.vmap(
+            lambda x_new, x_old, e0: self.log_trans_pdf(x_new, x_old)
+            + self.log_like_pdf(z, x_new)
+            - self.log_trans_pdf(e0, x_old)
+        )(xk, state.particles, eta0)
+        logw, _ = log_normalize(state.log_weights + theta_log + log_corr)
+
+        ts, _, _ = self.tracker.update(ts, z)
+
+        if self.cfg.resample_ess_ratio > 0.0:
+            ess = ess_from_logw(logw)
+            trigger = ess < self.cfg.resample_ess_ratio * n
+
+            def do_res(op):
+                k, p, lw = op
+                return (
+                    systematic_resample_values(k, p, logw=lw),
+                    uniform_logw(n, lw.dtype),
+                )
+
+            xk, logw = lax.cond(
+                trigger, do_res, lambda op: (op[1], op[2]), (k_res, xk, logw)
+            )
+
+        mean, cov = weighted_mean_cov(xk, logw)
+        new_state = FlowPFState(
+            particles=xk,
+            weights=jnp.exp(logw),
+            log_weights=logw,
+            mean=mean,
+            cov=symmetrize(cov),
+            diagnostics={"condition_numbers": conds},
+        )
+        return new_state, ts
+
+    def run(
+        self,
+        key: jax.Array,
+        state0: FlowPFState,
+        tracker_state0: TrackerState,
+        zs: jax.Array,
+        process_noise_sampler: Optional[Callable] = None,
+    ):
+        """Filter a (T, nz) sequence in one ``lax.scan``."""
+        T = zs.shape[0]
+        keys = jax.random.split(key, T)
+
+        def body(carry, inp):
+            st, ts = carry
+            k, z = inp
+            st, ts = self.step(
+                k, st, ts, z, process_noise_sampler=process_noise_sampler
+            )
+            hist = {
+                "mean": st.mean,
+                "cov": st.cov,
+                "ess": ess_from_logw(st.log_weights),
+                "condition_numbers": st.diagnostics["condition_numbers"],
+            }
+            return (st, ts), hist
+
+        (final, ts), hist = lax.scan(body, (state0, tracker_state0), (keys, zs))
+        return final, ts, hist

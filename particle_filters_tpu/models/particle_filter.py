@@ -1,0 +1,282 @@
+"""SIR (sequential importance resampling) particle filter.
+
+Capability parity with reference ``models/particle_filter.py``:
+``PFState`` (:27), Gaussian initialization (:110), ESS (:134),
+systematic/multinomial resampling with ESS trigger ``Neff < thresh·Np``
+(:188-218), optional post-resample regularization jitter ``0.001·Lq``
+(:212-218), per-particle propagate (:223) and Gaussian log-weight update
+(:239-263), weighted mean/cov (:266-267).
+
+TPU-native design (SURVEY.md §3.2):
+- propagate/measure are one ``vmap`` over the particle axis (the reference's
+  hot per-particle Python list comprehensions, :237 and :257);
+- weights live in the log domain with a single logsumexp normalization;
+- resampling is the vectorized inverse-CDF from ``resampling/hard.py``
+  under a ``lax.cond`` on the ESS trigger (no host sync);
+- ``run`` drives the whole sequence in one ``lax.scan`` — the full filter is
+  one XLA program;
+- optional ``axis_name`` makes every reduction a psum so the same code runs
+  with the particle axis sharded across a mesh (see ``parallel/``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from particle_filters_tpu.core.linalg import chol_with_jitter
+from particle_filters_tpu.core.structs import pytree_dataclass
+from particle_filters_tpu.core.weights import (
+    ess_from_logw,
+    log_normalize,
+    uniform_logw,
+    weighted_mean_cov,
+)
+from particle_filters_tpu.resampling.hard import (
+    resample_indices,
+    systematic_resample_values,
+)
+
+
+@pytree_dataclass
+class PFState:
+    """Particle posterior (reference ``PFState`` :27, plus log-weights).
+
+    ``weights`` are normalized linear weights (parity field); ``log_weights``
+    are the same weights in the log domain (the authoritative representation).
+    """
+
+    particles: jax.Array  # (Np, nx)
+    weights: jax.Array  # (Np,)
+    log_weights: jax.Array  # (Np,)
+    mean: jax.Array  # (nx,)
+    cov: jax.Array  # (nx, nx)
+    t: jax.Array  # scalar int32
+
+
+class ParticleFilter:
+    """SIR particle filter for
+
+        x_k = g(x_{k−1}, u_{k−1}) + w,  w ~ N(0, Q)
+        z_k = h(x_k) + v,               v ~ N(0, R)
+
+    or a custom observation log-density via ``obs_loglik(x, z) -> scalar``
+    (per particle; used for non-additive / non-Gaussian likelihoods such as
+    the SV model and Poisson counts).
+
+    Constructor parameters mirror the reference (:53-100); randomness is
+    explicit ``jax.random`` keys instead of a stored ``np.random.Generator``.
+    """
+
+    def __init__(
+        self,
+        g: Callable,
+        h: Optional[Callable],
+        Q,
+        R,
+        *,
+        Np: int = 1000,
+        resample_thresh: float = 0.5,
+        resample_method: str = "systematic",
+        regularize_after_resample: bool = False,
+        obs_loglik: Optional[Callable] = None,
+        axis_name: Optional[str] = None,
+    ) -> None:
+        self.g = g
+        self.h = h
+        self.Q = jnp.asarray(Q)
+        self.R = jnp.asarray(R) if R is not None else None
+        self.Np = int(Np)
+        self.resample_thresh = float(resample_thresh)
+        self.resample_method = str(resample_method)
+        self.regularize_after_resample = bool(regularize_after_resample)
+        self.axis_name = axis_name
+
+        self.nx = self.Q.shape[0]
+        self.Lq = chol_with_jitter(self.Q, initial=1e-10)
+        if obs_loglik is not None:
+            self._obs_loglik = obs_loglik
+        else:
+            if h is None or self.R is None:
+                raise ValueError("Provide either (h, R) or obs_loglik.")
+            self.nz = self.R.shape[0]
+            LR = chol_with_jitter(self.R, initial=1e-12)
+
+            def gaussian_obs_loglik(x, z):
+                diff = z - self.h(x)
+                y = jax.scipy.linalg.solve_triangular(LR, diff, lower=True)
+                # Reference drops the Gaussian constant (:259) — it cancels
+                # in the weight normalization.
+                return -0.5 * jnp.sum(y * y)
+
+            self._obs_loglik = gaussian_obs_loglik
+
+    # -------------------- initialization & diagnostics --------------------
+
+    def initialize(self, key: jax.Array, mean, cov) -> PFState:
+        """Particles ~ N(mean, cov), uniform weights (reference :110)."""
+        mean = jnp.asarray(mean).reshape(-1)
+        cov = jnp.atleast_2d(jnp.asarray(cov))
+        Lc = chol_with_jitter(cov, initial=1e-10)
+        eps = jax.random.normal(key, (self.Np, mean.shape[0]), mean.dtype)
+        particles = eps @ Lc.T + mean
+        logw = uniform_logw(self.Np, mean.dtype)
+        return PFState(
+            particles=particles,
+            weights=jnp.exp(logw),
+            log_weights=logw,
+            mean=mean,
+            cov=cov,
+            t=jnp.asarray(0, jnp.int32),
+        )
+
+    def effective_sample_size(self, state: PFState) -> jax.Array:
+        """Neff = 1/Σw² (reference :134)."""
+        return ess_from_logw(state.log_weights, self.axis_name)
+
+    # ------------------------------ core ops ------------------------------
+
+    def _shard_key(self, key: jax.Array) -> jax.Array:
+        """Decorrelate per-shard randomness: inside shard_map every shard
+        receives the same (replicated) key, so fold in the shard index."""
+        if self.axis_name is None:
+            return key
+        return jax.random.fold_in(key, lax.axis_index(self.axis_name))
+
+    def _total_n(self, particles: jax.Array) -> int:
+        n = particles.shape[0]
+        if self.axis_name is not None:
+            n = n * lax.axis_size(self.axis_name)
+        return n
+
+    def predict(self, key: jax.Array, state: PFState, u=None) -> jax.Array:
+        """Propagate all particles: vmapped g + correlated Gaussian noise
+        (replaces the per-particle loop at reference :237)."""
+        key = self._shard_key(key)
+        noise = (
+            jax.random.normal(key, state.particles.shape, state.particles.dtype)
+            @ self.Lq.T
+        )
+        prop = jax.vmap(lambda x: self.g(x, u))(state.particles)
+        return prop + noise
+
+    def _resample_values(self, k_idx, p, lw):
+        """Dispatch the single-shard resample implementation."""
+        if self.resample_method == "systematic":
+            if p.shape[0] >= 16384 and jax.default_backend() == "tpu":
+                # Pallas blocked kernel (~3 ms at N=1e6) — see
+                # ops/resample_pallas.py.
+                from particle_filters_tpu.ops.resample_pallas import (
+                    systematic_resample_values_blocked,
+                )
+
+                return systematic_resample_values_blocked(k_idx, p, logw=lw)
+            # Gather-free scatter+cumsum telescoping (all backends).
+            return systematic_resample_values(k_idx, p, logw=lw)
+        idx = resample_indices(self.resample_method, k_idx, logw=lw)
+        return jnp.take(p, idx, axis=0)
+
+    def _maybe_resample(self, key, particles, logw):
+        """ESS-triggered resample under lax.cond (reference :188-218)."""
+        ess = ess_from_logw(logw, self.axis_name)
+        trigger = ess < self.resample_thresh * self._total_n(particles)
+
+        def do_resample(operand):
+            k, p, lw = operand
+            k_idx, k_jit = jax.random.split(k)
+            n_local = p.shape[0]
+            if self.axis_name is not None:
+                # Cross-shard resampling: gather the global cloud, run the
+                # deterministic-per-key global systematic resample on every
+                # shard (same key ⇒ same u ⇒ identical ancestry), and keep
+                # this shard's output slice. Collectives ride ICI.
+                p_all = lax.all_gather(p, self.axis_name, axis=0, tiled=True)
+                lw_all = lax.all_gather(lw, self.axis_name, axis=0, tiled=True)
+                vals = self._resample_values(k_idx, p_all, lw_all)
+                i = lax.axis_index(self.axis_name)
+                p_new = lax.dynamic_slice_in_dim(
+                    vals, i * n_local, n_local, axis=0
+                )
+            else:
+                p_new = self._resample_values(k_idx, p, lw)
+            if self.regularize_after_resample:
+                jitter = (
+                    jax.random.normal(
+                        self._shard_key(k_jit), p_new.shape, p_new.dtype
+                    )
+                    @ (0.001 * self.Lq.T)
+                )
+                p_new = p_new + jitter
+            return p_new, uniform_logw(self._total_n(p), lw.dtype)[:n_local]
+
+        def no_resample(operand):
+            _, p, lw = operand
+            return p, lw
+
+        particles, logw = lax.cond(
+            trigger, do_resample, no_resample, (key, particles, logw)
+        )
+        return particles, logw, ess, trigger
+
+    def update(self, key: jax.Array, state: PFState, z, particles=None) -> PFState:
+        """Log-weight update + conditional resample + posterior moments
+        (reference :239-267). ``particles`` defaults to ``state.particles``
+        (call after ``predict``)."""
+        z = jnp.asarray(z)
+        if particles is None:
+            particles = state.particles
+        loglik = jax.vmap(lambda x: self._obs_loglik(x, z))(particles)
+        logw, _ = log_normalize(state.log_weights + loglik, self.axis_name)
+        particles, logw, _, _ = self._maybe_resample(key, particles, logw)
+        mean, cov = weighted_mean_cov(particles, logw, self.axis_name)
+        return PFState(
+            particles=particles,
+            weights=jnp.exp(logw),
+            log_weights=logw,
+            mean=mean,
+            cov=cov,
+            t=state.t + 1,
+        )
+
+    def step(self, key: jax.Array, state: PFState, z, u=None) -> PFState:
+        """Predict then update (reference :271)."""
+        k_pred, k_upd = jax.random.split(key)
+        particles = self.predict(k_pred, state, u)
+        return self.update(k_upd, state, z, particles=particles)
+
+    def run(self, key: jax.Array, state0: PFState, zs: jax.Array, us=None):
+        """Filter a whole (T, nz) sequence in one ``lax.scan``.
+
+        Returns ``(final_state, history)`` where history is a dict of stacked
+        per-step diagnostics: mean (T, nx), cov (T, nx, nx), ess (T,),
+        resampled (T,) — the trace the reference's tests/notebooks rebuild by
+        hand around ``pf.step`` (e.g. ``test_pf_vs_simulator_sv.py:137``).
+        """
+        T = zs.shape[0]
+        keys = jax.random.split(key, T)
+        us_seq = us if us is not None else jnp.zeros((T, 0))
+
+        def body(state, inputs):
+            k, z, u = inputs
+            k_pred, k_upd = jax.random.split(k)
+            particles = self.predict(k_pred, state, u if u.shape[-1] else None)
+            z = jnp.asarray(z)
+            loglik = jax.vmap(lambda x: self._obs_loglik(x, z))(particles)
+            logw, _ = log_normalize(state.log_weights + loglik, self.axis_name)
+            particles, logw, ess, trig = self._maybe_resample(k_upd, particles, logw)
+            mean, cov = weighted_mean_cov(particles, logw, self.axis_name)
+            new = PFState(
+                particles=particles,
+                weights=jnp.exp(logw),
+                log_weights=logw,
+                mean=mean,
+                cov=cov,
+                t=state.t + 1,
+            )
+            return new, {"mean": mean, "cov": cov, "ess": ess, "resampled": trig}
+
+        final, hist = lax.scan(body, state0, (keys, zs, us_seq))
+        return final, hist

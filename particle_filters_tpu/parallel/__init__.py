@@ -1,0 +1,16 @@
+"""Particle-axis data parallelism over a ``jax.sharding.Mesh``.
+
+The reference has no distributed backend at all (SURVEY.md §2.4); the
+TPU-native equivalent is SPMD over a mesh ``('batch', 'particles')``:
+per-particle propagate/weight are local, weight normalization / ESS /
+moments are ``psum`` over ICI, and resampling ancestry crosses shards via
+``all_gather`` (see ``ParticleFilter(axis_name=...)``).
+"""
+
+from particle_filters_tpu.parallel.mesh import make_mesh
+from particle_filters_tpu.parallel.sharded import (
+    make_sharded_pf_run,
+    shard_pf_state,
+)
+
+__all__ = ["make_mesh", "make_sharded_pf_run", "shard_pf_state"]

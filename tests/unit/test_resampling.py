@@ -1,0 +1,289 @@
+"""Resampling mechanism tests.
+
+Reproduces the reference's resampling test archetypes
+(``tests/unit_tests/models/test_pf_resampling.py``): favors high weights,
+uniform output, edge cases — plus the differentiable resamplers' gradient
+and distribution properties.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particle_filters_tpu.core.weights import log_normalize, uniform_logw
+from particle_filters_tpu.resampling import (
+    RNNResampler,
+    multinomial_resample,
+    ot_resample,
+    resample_indices,
+    residual_resample,
+    sinkhorn_ot_resample,
+    soft_resample,
+    stratified_resample,
+    systematic_resample,
+)
+from particle_filters_tpu.resampling.hard import systematic_resample_values
+
+METHODS = ["systematic", "multinomial", "stratified", "residual"]
+
+
+class TestHardResampling:
+    @pytest.mark.parametrize("method", METHODS)
+    def test_indices_valid(self, key, method):
+        w = jax.nn.softmax(jax.random.normal(key, (100,)))
+        idx = resample_indices(method, key, w)
+        assert idx.shape == (100,)
+        assert idx.dtype == jnp.int32
+        assert np.all(np.asarray(idx) >= 0) and np.all(np.asarray(idx) < 100)
+
+    @pytest.mark.parametrize("method", METHODS)
+    def test_favors_high_weights(self, key, method):
+        """The dominant particle gets most copies (reference
+        ``test_pf_resampling.py:76``)."""
+        n = 100
+        w = jnp.full((n,), 0.002).at[7].set(1.0 - 0.002 * (n - 1))
+        idx = resample_indices(method, key, w)
+        frac = float(jnp.mean((idx == 7).astype(jnp.float32)))
+        assert frac > 0.6
+
+    @pytest.mark.parametrize("method", METHODS)
+    def test_uniform_weights_counts(self, key, method):
+        """Uniform weights: systematic/stratified/residual give each particle
+        exactly one copy; multinomial close on average."""
+        n = 64
+        idx = resample_indices(method, key, jnp.full((n,), 1.0 / n))
+        counts = np.bincount(np.asarray(idx), minlength=n)
+        if method in ("systematic", "stratified", "residual"):
+            np.testing.assert_array_equal(counts, np.ones(n))
+        else:
+            assert counts.sum() == n
+
+    def test_systematic_counts_within_one_of_expected(self, key):
+        """Systematic resampling guarantees |count_j − N·w_j| ≤ 1."""
+        n = 1000
+        w = jax.nn.softmax(jax.random.normal(key, (n,)) * 2)
+        idx = systematic_resample(key, w)
+        counts = np.bincount(np.asarray(idx), minlength=n)
+        assert np.max(np.abs(counts - n * np.asarray(w))) <= 1.0 + 1e-3
+
+    def test_systematic_accepts_logw(self, key):
+        w = jax.nn.softmax(jax.random.normal(key, (50,)))
+        i1 = systematic_resample(key, w)
+        i2 = systematic_resample(key, logw=jnp.log(w))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_values_matches_index_gather(self, key):
+        """Gather-free telescoping path == indices+gather path."""
+        for n, d in [(5, 1), (64, 3), (1000, 2)]:
+            w = jax.nn.softmax(jax.random.normal(jax.random.fold_in(key, n), (n,)) * 2)
+            p = jax.random.normal(jax.random.fold_in(key, n + 1), (n, d))
+            idx = systematic_resample(key, w)
+            v = systematic_resample_values(key, p, w=w)
+            np.testing.assert_allclose(
+                np.asarray(jnp.take(p, idx, axis=0)),
+                np.asarray(v),
+                atol=1e-4,
+            )
+
+    def test_single_particle(self, key):
+        """Np=1 edge case (reference ``test_pf_resampling.py:338``)."""
+        idx = systematic_resample(key, jnp.ones(1))
+        assert int(idx[0]) == 0
+
+    def test_multinomial_unbiased(self, key):
+        n = 50
+        w = jax.nn.softmax(jax.random.normal(key, (n,)))
+        counts = np.zeros(n)
+        for i in range(200):
+            idx = multinomial_resample(jax.random.fold_in(key, i), w)
+            counts += np.bincount(np.asarray(idx), minlength=n)
+        freq = counts / counts.sum()
+        np.testing.assert_allclose(freq, np.asarray(w), atol=0.02)
+
+    def test_residual_deterministic_floor(self, key):
+        """Residual resampling gives at least ⌊N·w⌋ copies of each particle."""
+        # Dyadic weights: exactly representable in f32, so the floor
+        # guarantee is exact (non-dyadic weights can lose a deterministic
+        # copy to f32 rounding, which residual resampling legitimately
+        # reassigns to the residual pool).
+        n = 8
+        w = jnp.array([12.0, 8.0, 4.0, 4.0, 1.0, 1.0, 1.0, 1.0]) / 32.0
+        idx = residual_resample(key, w)
+        counts = np.bincount(np.asarray(idx), minlength=n)
+        floor = np.floor(n * np.asarray(w))
+        assert np.all(counts >= floor)
+
+    def test_unknown_method_raises(self, key):
+        with pytest.raises(ValueError, match="Unknown resample"):
+            resample_indices("bogus", key, jnp.ones(4) / 4)
+
+
+class TestSoftResampling:
+    def test_shapes_and_uniform_weights(self, key):
+        n, d = 32, 2
+        p = jax.random.normal(key, (n, d))
+        logw = jax.random.normal(key, (n,))
+        new_p, new_logw = soft_resample(key, p, logw, alpha=0.5, temperature=0.5)
+        assert new_p.shape == (n, d)
+        np.testing.assert_allclose(
+            np.asarray(jnp.exp(new_logw)), np.full(n, 1.0 / n), atol=1e-5
+        )
+
+    def test_batched(self, key):
+        b, n, d = 4, 16, 3
+        p = jax.random.normal(key, (b, n, d))
+        logw = jax.random.normal(key, (b, n))
+        new_p, new_logw = soft_resample(key, p, logw)
+        assert new_p.shape == (b, n, d)
+        assert new_logw.shape == (b, n)
+
+    def test_differentiable(self, key):
+        n, d = 16, 2
+        p = jax.random.normal(key, (n, d))
+        logw = jax.random.normal(key, (n,))
+
+        def loss(p):
+            q, _ = soft_resample(key, p, logw, temperature=0.5)
+            return jnp.sum(q**2)
+
+        g = jax.grad(loss)(p)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+    def test_low_temperature_concentrates(self, key):
+        """Cold Gumbel-Softmax → barycenters near single ancestors."""
+        n = 64
+        p = jnp.arange(n, dtype=jnp.float32)[:, None]
+        logw, _ = log_normalize(jnp.zeros(n))
+        new_p, _, aux = soft_resample(
+            key, p, logw, alpha=0.0, temperature=0.01, return_aux=True
+        )
+        assert float(aux["assignment_entropy_mean"]) < 0.1
+
+    def test_alpha_one_is_uniform_proposal(self, key):
+        """α=1: proposal ignores weights entirely."""
+        n = 32
+        p = jax.random.normal(key, (n, 1))
+        logw = jnp.log(jnp.zeros(n).at[0].set(1.0) + 1e-20)
+        _, _, aux = soft_resample(
+            key, p, logw, alpha=1.0, temperature=1.0, return_aux=True
+        )
+        # With a uniform mixture, entropy of assignments stays high.
+        assert float(aux["assignment_entropy_mean"]) > 2.0
+
+
+class TestOTResampling:
+    def test_shapes_and_uniform_weights(self, key):
+        n, d = 20, 2
+        p = jax.random.normal(key, (n, d))
+        w = jax.nn.softmax(jax.random.normal(key, (n,)))
+        new_p, new_w = sinkhorn_ot_resample(p, w, epsilon=0.2, n_iters=30)
+        assert new_p.shape == (n, d)
+        np.testing.assert_allclose(np.asarray(new_w), np.full(n, 1.0 / n), atol=1e-6)
+
+    def test_preserves_weighted_mean(self, key):
+        """Barycentric projection preserves Σ wᵢ xᵢ (mass conservation)."""
+        n, d = 30, 2
+        p = jax.random.normal(key, (n, d))
+        w = jax.nn.softmax(jax.random.normal(key, (n,)) * 2)
+        new_p, new_w = sinkhorn_ot_resample(p, w, epsilon=0.2, n_iters=200)
+        np.testing.assert_allclose(
+            np.asarray(w @ p), np.asarray(new_w @ new_p), atol=8e-2
+        )
+
+    def test_converges(self, key):
+        n = 16
+        p = jax.random.normal(key, (n, 1))
+        w = jax.nn.softmax(jax.random.normal(key, (n,)))
+        _, _, diag = sinkhorn_ot_resample(
+            p, w, epsilon=0.5, n_iters=100, return_diagnostics=True
+        )
+        assert float(diag["final_delta"]) < 1e-3
+
+    def test_differentiable(self, key):
+        n, d = 12, 2
+        p = jax.random.normal(key, (n, d))
+        logw = jax.random.normal(key, (n,))
+
+        def loss(p):
+            q, _ = ot_resample(key, p, logw, n_iters=15)
+            return jnp.sum(q**2)
+
+        g = jax.grad(loss)(p)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_degenerate_weights_stable(self, key):
+        """Near-degenerate weights must not blow up (reference
+        ``test_dpf_ot_vs_simulator_lgssm.py:451``)."""
+        n = 16
+        p = jax.random.normal(key, (n, 2))
+        w = jnp.full((n,), 1e-12).at[3].set(1.0)
+        new_p, _ = sinkhorn_ot_resample(p, w / jnp.sum(w), epsilon=0.1, n_iters=50)
+        assert np.all(np.isfinite(np.asarray(new_p)))
+        # All mass at particle 3 → every output near p[3].
+        np.testing.assert_allclose(
+            np.asarray(new_p), np.tile(np.asarray(p[3]), (n, 1)), atol=1e-2
+        )
+
+
+class TestRNNResampling:
+    def test_shapes(self, key):
+        n, d = 12, 2
+        rs = RNNResampler(n, d, hidden_dim=8)
+        params = rs.init(key)
+        p = jax.random.normal(key, (n, d))
+        logw = jax.random.normal(key, (n,))
+        new_p, new_logw = rs.apply(params, key, p, logw)
+        assert new_p.shape == (n, d)
+        np.testing.assert_allclose(
+            np.asarray(jnp.exp(new_logw)), np.full(n, 1.0 / n), atol=1e-5
+        )
+
+    def test_near_uniform_initial_assignments(self, key):
+        """Near-zero output init → near-uniform assignments (reference
+        ``_initialize_sensible_weights`` :127)."""
+        n = 10
+        rs = RNNResampler(n, 2, hidden_dim=8)
+        params = rs.init(key)
+        p = jax.random.normal(key, (n, 2))
+        logw = jax.random.normal(key, (n,))
+        _, _, aux = rs.apply(params, key, p, logw, return_aux=True)
+        assert float(aux["assignment_entropy_mean"]) > 0.9 * np.log(n)
+
+    def test_lstm_variant(self, key):
+        rs = RNNResampler(8, 2, hidden_dim=8, rnn_type="lstm")
+        params = rs.init(key)
+        p = jax.random.normal(key, (8, 2))
+        new_p, _ = rs.apply(params, key, p, jnp.zeros(8))
+        assert np.all(np.isfinite(np.asarray(new_p)))
+
+    def test_baseline_mode_follows_weights(self, key):
+        n = 16
+        rs = RNNResampler(n, 1, use_baseline_resampling=True, temperature=0.2)
+        params = rs.init(key)
+        p = jnp.arange(n, dtype=jnp.float32)[:, None]
+        logw, _ = log_normalize(jnp.log(jnp.zeros(n).at[5].set(1.0) + 1e-20))
+        new_p, _ = rs.apply(params, key, p, logw)
+        # Dominant ancestor 5 → barycenters near 5.
+        assert float(jnp.mean(jnp.abs(new_p - 5.0))) < 1.5
+
+    def test_trainable(self, key):
+        n, d = 6, 1
+        rs = RNNResampler(n, d, hidden_dim=4)
+        params = rs.init(key)
+        p = jax.random.normal(key, (n, d))
+        logw = jnp.zeros(n)
+
+        def loss(params):
+            q, _ = rs.apply(params, key, p, logw)
+            return jnp.sum((q - 1.0) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+    def test_invalid_rnn_type_raises(self):
+        with pytest.raises(ValueError, match="Unknown RNN type"):
+            RNNResampler(4, 1, rnn_type="transformer")
