@@ -1,0 +1,471 @@
+"""Differentiable particle filters (soft / OT / RNN resampling).
+
+Capability parity with the reference's three TensorFlow modules:
+
+- ``DifferentiableParticleFilter`` — ``models/DPF_soft_resampling.py``:
+  batched (B, N, d) filtering with mixture + Gumbel-Softmax soft resampling,
+  rich diagnostics (ESS, weight entropy, particle diversity, assignment
+  entropy, RMSE sequence).
+- ``DPF_OT`` — ``models/DPF_OT_resampling.py``: entropy-regularized
+  Sinkhorn-OT resampling, unbatched (N, d) API with linear-domain weights,
+  convergence/sparsity/dual diagnostics.
+- ``DifferentiableParticleFilterRNN`` — ``models/DPF_RNN_resampling.py``:
+  learned LSTM/GRU resampler with trainable parameters and a training-free
+  baseline mode.
+
+TPU-native design: the time loops (reference Python loops,
+``DPF_soft_resampling.py:426-443``, ``DPF_OT_resampling.py:521-535``,
+``DPF_RNN_resampling.py:543+``) are ``lax.scan``; all per-step diagnostics
+are scan outputs aggregated afterwards; everything is differentiable under
+``jax.grad`` (the reference relies on TF GradientTape). Randomness is
+explicit: ``transition_fn(key, x, params)`` takes a key (the reference uses
+TF's global RNG inside the callable).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from particle_filters_tpu.resampling.ot import sinkhorn_ot_resample
+from particle_filters_tpu.resampling.rnn import RNNResampler
+from particle_filters_tpu.resampling.soft import (
+    gumbel_softmax,
+    log_normalize_lastaxis,
+)
+
+
+# --------------------------- shared diagnostics ----------------------------
+
+
+def compute_ess(log_weights: jax.Array) -> jax.Array:
+    """ESS along the last axis (reference ``compute_ess`` :84)."""
+    logw_n, _ = log_normalize_lastaxis(log_weights)
+    w = jnp.exp(logw_n)
+    return 1.0 / jnp.maximum(jnp.sum(w * w, axis=-1), 1e-30)
+
+def compute_weight_entropy(log_weights: jax.Array) -> jax.Array:
+    """−Σ w log w along the last axis (reference :106)."""
+    logw_n, _ = log_normalize_lastaxis(log_weights)
+    w = jnp.exp(logw_n)
+    return -jnp.sum(jnp.where(w > 0, w * logw_n, 0.0), axis=-1)
+
+
+def compute_particle_diversity(particles: jax.Array) -> Dict[str, jax.Array]:
+    """Mean/std pairwise distance and spread (reference :127-173).
+
+    ``particles``: (B, N, d) → dict of (B,) diagnostics.
+    """
+    B, N, d = particles.shape
+    diff = particles[:, :, None, :] - particles[:, None, :, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff**2, axis=-1), 1e-30))
+    mask = 1.0 - jnp.eye(N, dtype=particles.dtype)
+    masked = dist * mask
+    mean_dist = jnp.sum(masked, axis=(1, 2)) / (N * (N - 1))
+    std_dist = jnp.std(masked.reshape(B, N * N), axis=-1)
+    centered = particles - jnp.mean(particles, axis=1, keepdims=True)
+    cov = jnp.einsum("bni,bnj->bij", centered, centered) / N
+    spread = jnp.trace(cov, axis1=-2, axis2=-1)
+    return {
+        "mean_pairwise_dist": mean_dist,
+        "std_pairwise_dist": std_dist,
+        "particle_spread": spread,
+    }
+
+
+def aggregate_diagnostics(stacked: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Per-step diagnostics (leading time axis) → mean/std/min/max summary
+    (reference ``_aggregate_diagnostics`` :466-511)."""
+    out = {}
+    for key, v in stacked.items():
+        out[f"{key}_mean"] = jnp.mean(v)
+        out[f"{key}_std"] = jnp.std(v)
+        out[f"{key}_min"] = jnp.min(v)
+        out[f"{key}_max"] = jnp.max(v)
+    return out
+
+
+def rmse_sequence(particles_seq, logw_seq, ground_truth) -> jax.Array:
+    """Per-step RMSE of the weighted mean vs truth, averaged over batch
+    (reference ``_compute_rmse_sequence`` :513-547). Shapes:
+    (B, T+1, N, d), (B, T+1, N), (B, T+1, d) → (T+1,)."""
+    logw_n, _ = log_normalize_lastaxis(logw_seq)
+    w = jnp.exp(logw_n)
+    means = jnp.einsum("btn,btnd->btd", w, particles_seq)
+    sq = jnp.sum((means - ground_truth) ** 2, axis=-1)
+    return jnp.sqrt(jnp.mean(sq, axis=0))
+
+
+def _init_particles(key, batch_size, n, d, init_mean, init_cov_chol, dtype):
+    """Gaussian init, batched (reference ``init_particles`` :216-264)."""
+    init_mean = jnp.asarray(init_mean, dtype)
+    init_cov_chol = jnp.asarray(init_cov_chol, dtype)
+    if init_mean.ndim == 1:
+        init_mean = jnp.broadcast_to(init_mean[None, :], (batch_size, d))
+    if init_cov_chol.ndim == 2:
+        init_cov_chol = jnp.broadcast_to(
+            init_cov_chol[None], (batch_size, d, d)
+        )
+    eps = jax.random.normal(key, (batch_size, n, d), dtype)
+    particles = init_mean[:, None, :] + jnp.einsum(
+        "bnd,bkd->bnk", eps, init_cov_chol
+    )
+    logw = jnp.full((batch_size, n), -jnp.log(float(n)), dtype)
+    return particles, logw
+
+
+# ------------------------------ soft variant -------------------------------
+
+
+class DifferentiableParticleFilter:
+    """Soft-resampling DPF, batched over B sequences (reference
+    ``DifferentiableParticleFilter`` :8-60).
+
+    ``transition_fn(key, x_prev, params) -> x_pred`` with x (B, N, d);
+    ``log_likelihood_fn(x, y, params) -> (B, N)``.
+    """
+
+    def __init__(
+        self,
+        n_particles: int,
+        state_dim: int,
+        transition_fn: Callable,
+        log_likelihood_fn: Callable,
+        soft_alpha: float = 0.1,
+        gumbel_temperature: float = 0.2,
+    ) -> None:
+        self.n_particles = int(n_particles)
+        self.state_dim = int(state_dim)
+        self.transition_fn = transition_fn
+        self.log_likelihood_fn = log_likelihood_fn
+        self.soft_alpha = float(soft_alpha)
+        self.gumbel_temperature = float(gumbel_temperature)
+
+    def init_particles(self, key, batch_size, init_mean, init_cov_chol,
+                       dtype=jnp.float32):
+        return _init_particles(
+            key, batch_size, self.n_particles, self.state_dim,
+            init_mean, init_cov_chol, dtype,
+        )
+
+    def step(self, key, particles, log_weights, observation, params=None,
+             return_diagnostics: bool = False):
+        """One DPF step: propagate → weight → soft resample (reference
+        ``step`` :266-369)."""
+        params = params or {}
+        B, N, d = particles.shape
+        k_trans, k_gumbel = jax.random.split(key)
+
+        diag = {}
+        if return_diagnostics:
+            diag["ess_before"] = compute_ess(log_weights)
+            diag["entropy_before"] = compute_weight_entropy(log_weights)
+            div = compute_particle_diversity(particles)
+            diag.update({f"diversity_before_{k}": v for k, v in div.items()})
+
+        pred = self.transition_fn(k_trans, particles, params)
+        log_lik = self.log_likelihood_fn(pred, observation, params)
+        logw, _ = log_normalize_lastaxis(log_weights + log_lik)
+        w = jnp.exp(logw)
+
+        # mixture q = (1−α)w + α/N, Gumbel-Softmax assignment (:309-330)
+        probs = (1.0 - self.soft_alpha) * w + self.soft_alpha / N
+        log_probs = jnp.log(probs + 1e-20)
+        tiled = jnp.broadcast_to(log_probs[:, None, :], (B, N, N))
+        assignment = gumbel_softmax(k_gumbel, tiled, self.gumbel_temperature)
+        new_particles = jnp.einsum("bij,bjd->bid", assignment, pred)
+        new_logw = jnp.full((B, N), -jnp.log(float(N)), particles.dtype)
+
+        if not return_diagnostics:
+            return new_particles, new_logw
+        assign_entropy = -jnp.sum(
+            assignment * jnp.log(assignment + 1e-10), axis=-1
+        )
+        div_after = compute_particle_diversity(new_particles)
+        diag.update(
+            {
+                "ess_after": compute_ess(new_logw),
+                "entropy_after": compute_weight_entropy(new_logw),
+                **{f"diversity_after_{k}": v for k, v in div_after.items()},
+                "assignment_entropy_mean": jnp.mean(assign_entropy),
+                "assignment_entropy_std": jnp.std(assign_entropy),
+                "max_weight_before": jnp.max(w, axis=-1),
+            }
+        )
+        return new_particles, new_logw, diag
+
+    def filter(self, key, observations, init_mean, init_cov_chol,
+               params=None, return_diagnostics: bool = False,
+               ground_truth=None):
+        """Filter a (B, T, obs_dim) batch of sequences in one ``lax.scan``
+        (reference ``filter`` :371-464). Returns (particles_seq (B,T+1,N,d),
+        logw_seq (B,T+1,N)[, diagnostics])."""
+        params = params or {}
+        observations = jnp.asarray(observations)
+        B, T = observations.shape[0], observations.shape[1]
+        k_init, k_scan = jax.random.split(key)
+        p0, lw0 = self.init_particles(k_init, B, init_mean, init_cov_chol,
+                                      observations.dtype)
+
+        keys = jax.random.split(k_scan, T)
+
+        def body(carry, inp):
+            p, lw = carry
+            k, y = inp
+            if return_diagnostics:
+                p, lw, dg = self.step(k, p, lw, y, params, True)
+                return (p, lw), (p, lw, dg)
+            p, lw = self.step(k, p, lw, y, params, False)
+            return (p, lw), (p, lw)
+
+        (_, _), outs = lax.scan(body, (p0, lw0), (keys, observations.swapaxes(0, 1)))
+        if return_diagnostics:
+            ps, lws, diags = outs
+        else:
+            ps, lws = outs
+        particles_seq = jnp.concatenate(
+            [p0[:, None], ps.swapaxes(0, 1)], axis=1
+        )
+        logw_seq = jnp.concatenate([lw0[:, None], lws.swapaxes(0, 1)], axis=1)
+
+        if not return_diagnostics:
+            return particles_seq, logw_seq
+        diagnostics = aggregate_diagnostics(
+            {k: v for k, v in diags.items()}
+        )
+        if ground_truth is not None:
+            rs = rmse_sequence(particles_seq, logw_seq, jnp.asarray(ground_truth))
+            diagnostics["rmse_sequence"] = rs
+            diagnostics["mean_rmse"] = jnp.mean(rs)
+            diagnostics["final_rmse"] = rs[-1]
+        return particles_seq, logw_seq, diagnostics
+
+
+# ------------------------------- OT variant --------------------------------
+
+
+class DPF_OT:
+    """Sinkhorn-OT DPF, unbatched (N, d) with linear-domain weights
+    (reference ``DPF_OT`` :238-370).
+
+    ``transition_fn(key, particles, t) -> particles`` (N, d);
+    ``obs_loglik_fn(particles, y, t) -> (N,)``.
+    """
+
+    def __init__(
+        self,
+        n_particles: int,
+        state_dim: int,
+        transition_fn: Callable,
+        obs_loglik_fn: Callable,
+        epsilon: float = 0.1,
+        n_sinkhorn_iters: int = 50,
+        min_val: float = 1e-12,
+    ) -> None:
+        self.n_particles = int(n_particles)
+        self.state_dim = int(state_dim)
+        self.transition_fn = transition_fn
+        self.obs_loglik_fn = obs_loglik_fn
+        self.epsilon = float(epsilon)
+        self.n_sinkhorn_iters = int(n_sinkhorn_iters)
+        self.min_val = float(min_val)
+
+    def init_particles(self, key, mean0, cov0_chol, dtype=jnp.float32):
+        """(reference ``init_particles`` :374-398)."""
+        mean0 = jnp.asarray(mean0, dtype)
+        L = jnp.asarray(cov0_chol, dtype)
+        eps = jax.random.normal(key, (self.n_particles, self.state_dim), dtype)
+        particles = mean0 + eps @ L.T
+        weights = jnp.full((self.n_particles,), 1.0 / self.n_particles, dtype)
+        return particles, weights
+
+    def step(self, key, particles, weights, y, t=0,
+             return_diagnostics: bool = False):
+        """Propagate → linear-domain weight update (reference :440-445) →
+        Sinkhorn-OT resample (:447-484)."""
+        pred = self.transition_fn(key, particles, t)
+        loglik = self.obs_loglik_fn(pred, y, t)
+        # Reference updates in the LINEAR domain with a max-shift guard.
+        loglik = loglik - jax.lax.stop_gradient(jnp.max(loglik))
+        w = weights * jnp.exp(loglik)
+        w = jnp.maximum(w, self.min_val)
+        w = w / jnp.sum(w)
+        out = sinkhorn_ot_resample(
+            pred,
+            w,
+            epsilon=self.epsilon,
+            n_iters=self.n_sinkhorn_iters,
+            min_val=self.min_val,
+            return_diagnostics=return_diagnostics,
+        )
+        if return_diagnostics:
+            new_p, new_w, diag = out
+            diag = {
+                "ot_distance": diag["ot_distance"],
+                "transport_plan_sparsity": diag["transport_plan_sparsity"],
+                "final_delta": diag["final_delta"],
+                "f_std": diag["dual_variables"]["f_std"],
+                "g_std": diag["dual_variables"]["g_std"],
+                "ess_before": 1.0 / jnp.sum(w * w),
+            }
+            return new_p, new_w, diag
+        new_p, new_w = out
+        return new_p, new_w
+
+    def run_filter(self, key, y_seq, mean0, cov0_chol,
+                   return_diagnostics: bool = False):
+        """Filter a (T, obs_dim) sequence (reference ``run_filter``
+        :489-544). Returns (particles_seq (T+1, N, d), weights_seq (T+1, N)
+        [, diagnostics])."""
+        y_seq = jnp.asarray(y_seq)
+        T = y_seq.shape[0]
+        k_init, k_scan = jax.random.split(key)
+        p0, w0 = self.init_particles(k_init, mean0, cov0_chol, y_seq.dtype)
+        keys = jax.random.split(k_scan, T)
+        ts = jnp.arange(T)
+
+        def body(carry, inp):
+            p, w = carry
+            k, y, t = inp
+            if return_diagnostics:
+                p, w, dg = self.step(k, p, w, y, t, True)
+                return (p, w), (p, w, dg)
+            p, w = self.step(k, p, w, y, t, False)
+            return (p, w), (p, w)
+
+        (_, _), outs = lax.scan(body, (p0, w0), (keys, y_seq, ts))
+        if return_diagnostics:
+            ps, ws, diags = outs
+        else:
+            ps, ws = outs
+        particles_seq = jnp.concatenate([p0[None], ps], axis=0)
+        weights_seq = jnp.concatenate([w0[None], ws], axis=0)
+        if not return_diagnostics:
+            return particles_seq, weights_seq
+        return particles_seq, weights_seq, aggregate_diagnostics(diags)
+
+
+# ------------------------------- RNN variant -------------------------------
+
+
+class DifferentiableParticleFilterRNN:
+    """Learned-resampler DPF (reference ``DifferentiableParticleFilterRNN``
+    :9-80), batched over B sequences.
+
+    The resampler parameters live in an explicit pytree: ``init_resampler``
+    returns them and every ``step``/``filter`` call takes them — train with
+    ``jax.grad`` + optax (the reference mutates ``tf.Variable`` state).
+    """
+
+    def __init__(
+        self,
+        n_particles: int,
+        state_dim: int,
+        transition_fn: Callable,
+        log_likelihood_fn: Callable,
+        rnn_hidden_dim: int = 32,
+        rnn_num_layers: int = 1,
+        rnn_type: str = "gru",
+        temperature: float = 1.0,
+        use_weight_features: bool = True,
+        use_particle_features: bool = True,
+        use_baseline_resampling: bool = False,
+    ) -> None:
+        self.n_particles = int(n_particles)
+        self.state_dim = int(state_dim)
+        self.transition_fn = transition_fn
+        self.log_likelihood_fn = log_likelihood_fn
+        self.resampler = RNNResampler(
+            n_particles,
+            state_dim,
+            hidden_dim=rnn_hidden_dim,
+            num_layers=rnn_num_layers,
+            rnn_type=rnn_type,
+            temperature=temperature,
+            use_weight_features=use_weight_features,
+            use_particle_features=use_particle_features,
+            use_baseline_resampling=use_baseline_resampling,
+        )
+
+    def init_resampler(self, key):
+        """Near-zero output head → near-uniform initial assignments
+        (reference ``_initialize_sensible_weights`` :127-162)."""
+        return self.resampler.init(key)
+
+    def init_particles(self, key, batch_size, init_mean, init_cov_chol,
+                       dtype=jnp.float32):
+        return _init_particles(
+            key, batch_size, self.n_particles, self.state_dim,
+            init_mean, init_cov_chol, dtype,
+        )
+
+    def step(self, params, key, particles, log_weights, observation,
+             model_params=None, return_diagnostics: bool = False):
+        """Propagate → weight → learned resample (reference ``step`` :478)."""
+        model_params = model_params or {}
+        B = particles.shape[0]
+        k_trans, k_res = jax.random.split(key)
+        pred = self.transition_fn(k_trans, particles, model_params)
+        log_lik = self.log_likelihood_fn(pred, observation, model_params)
+        logw, _ = log_normalize_lastaxis(log_weights + log_lik)
+
+        res_keys = jax.random.split(k_res, B)
+        if return_diagnostics:
+            outs = jax.vmap(
+                lambda k, p, lw: self.resampler.apply(params, k, p, lw, True)
+            )(res_keys, pred, logw)
+            new_p, new_lw, aux = outs
+            diag = {
+                "ess_before": compute_ess(logw),
+                "assignment_entropy_mean": jnp.mean(
+                    aux["assignment_entropy_mean"]
+                ),
+            }
+            return new_p, new_lw, diag
+        new_p, new_lw = jax.vmap(
+            lambda k, p, lw: self.resampler.apply(params, k, p, lw)
+        )(res_keys, pred, logw)
+        return new_p, new_lw
+
+    def filter(self, params, key, observations, init_mean, init_cov_chol,
+               model_params=None, return_diagnostics: bool = False,
+               ground_truth=None):
+        """Filter a (B, T, obs_dim) batch (reference ``filter`` :543)."""
+        model_params = model_params or {}
+        observations = jnp.asarray(observations)
+        B, T = observations.shape[0], observations.shape[1]
+        k_init, k_scan = jax.random.split(key)
+        p0, lw0 = self.init_particles(k_init, B, init_mean, init_cov_chol,
+                                      observations.dtype)
+        keys = jax.random.split(k_scan, T)
+
+        def body(carry, inp):
+            p, lw = carry
+            k, y = inp
+            if return_diagnostics:
+                p, lw, dg = self.step(params, k, p, lw, y, model_params, True)
+                return (p, lw), (p, lw, dg)
+            p, lw = self.step(params, k, p, lw, y, model_params, False)
+            return (p, lw), (p, lw)
+
+        (_, _), outs = lax.scan(
+            body, (p0, lw0), (keys, observations.swapaxes(0, 1))
+        )
+        if return_diagnostics:
+            ps, lws, diags = outs
+        else:
+            ps, lws = outs
+        particles_seq = jnp.concatenate([p0[:, None], ps.swapaxes(0, 1)], axis=1)
+        logw_seq = jnp.concatenate([lw0[:, None], lws.swapaxes(0, 1)], axis=1)
+        if not return_diagnostics:
+            return particles_seq, logw_seq
+        diagnostics = aggregate_diagnostics(diags)
+        if ground_truth is not None:
+            rs = rmse_sequence(particles_seq, logw_seq, jnp.asarray(ground_truth))
+            diagnostics["rmse_sequence"] = rs
+            diagnostics["mean_rmse"] = jnp.mean(rs)
+            diagnostics["final_rmse"] = rs[-1]
+        return particles_seq, logw_seq, diagnostics

@@ -1,0 +1,170 @@
+"""Stochastic particle flow tests.
+
+Reproduces the reference archetypes: β-schedule endpoints/monotonicity/bounds
+and µ-sweeps (``test_spf_beta_schedule.py:33-264``), and the golden
+SPF ↔ analytic-Kalman-posterior suite
+(``test_spf_vs_kalman_posterior.py:34-451``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from particle_filters_tpu.models import (
+    LinearGaussianBayes,
+    kappa2_and_derivative,
+    run_generalized_spf,
+    solve_beta_star_bisection,
+)
+
+
+def make_model(n=2, d=2, obs_scale=0.5, prior_corr=0.0, z=None):
+    P0 = np.eye(n) + prior_corr * (np.ones((n, n)) - np.eye(n))
+    H = np.eye(d, n)
+    R = obs_scale * np.eye(d)
+    m0 = np.arange(1, n + 1, dtype=np.float32)
+    if z is None:
+        z = np.zeros(d, np.float32)
+    return LinearGaussianBayes.create(m0, P0.astype(np.float32), H, R.astype(np.float32), z)
+
+
+class TestLinearGaussianBayes:
+    def test_precisions(self):
+        m = make_model()
+        np.testing.assert_allclose(
+            np.asarray(m.P0_inv @ m.P0), np.eye(2), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(m.Mh), np.asarray(-m.Hess_log_h), atol=1e-6
+        )
+
+    def test_gradients(self):
+        m = make_model()
+        x = jnp.array([0.5, -0.5])
+        g_p = m.grad_log_p0(x)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(-(m.P0_inv @ (x - m.m0))), atol=1e-5
+        )
+        g_h = m.grad_log_h(x)
+        expect = m.H.T @ (m.R_inv @ (m.z - m.H @ x))
+        np.testing.assert_allclose(np.asarray(g_h), np.asarray(expect), atol=1e-5)
+
+    def test_batched_gradients_match_single(self, key):
+        m = make_model()
+        X = jax.random.normal(key, (6, 2))
+        batched = m.grad_log_h(X)
+        single = jnp.stack([m.grad_log_h(x) for x in X])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(single), atol=1e-5)
+
+    def test_kalman_posterior_identity_obs(self):
+        """Identity H: posterior has smaller variance than prior and mean
+        between m0 and z."""
+        m = make_model(obs_scale=1.0)
+        mp, Pp = m.kalman_posterior()
+        assert float(jnp.trace(Pp)) < float(jnp.trace(m.P0))
+        mp = np.asarray(mp)
+        assert np.all(mp <= np.asarray(m.m0) + 1e-6)
+        assert np.all(mp >= np.asarray(m.z) - 1e-6)
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError):
+            LinearGaussianBayes.create(
+                np.zeros(2), np.eye(3), np.eye(2), np.eye(2), np.zeros(2)
+            )
+
+
+class TestKappa2:
+    def test_identity_kappa_one(self):
+        k, dk = kappa2_and_derivative(jnp.eye(3), jnp.zeros((3, 3)))
+        assert np.isclose(float(k), 1.0, atol=1e-6)
+        assert np.isclose(float(dk), 0.0, atol=1e-6)
+
+    def test_diagonal(self):
+        M = jnp.diag(jnp.array([1.0, 4.0]))
+        dM = jnp.diag(jnp.array([0.0, 1.0]))  # only λ_max moves
+        k, dk = kappa2_and_derivative(M, dM)
+        assert np.isclose(float(k), 4.0, atol=1e-5)
+        assert np.isclose(float(dk), 1.0, atol=1e-4)  # dκ = dλmax/λmin
+
+
+class TestBetaSchedule:
+    @pytest.mark.parametrize("mu", [1e-3, 1e-2, 1e-1])
+    def test_endpoints_and_bounds(self, mu):
+        """β(0)=0, β(1)=1, β ∈ [0,1] (reference ``test_spf_beta_schedule``)."""
+        m = make_model(obs_scale=0.1)
+        lam, beta, betadot = solve_beta_star_bisection(
+            m.M0, m.Mh, mu=mu, n_grid=101
+        )
+        assert np.isclose(float(beta[0]), 0.0)
+        assert np.isclose(float(beta[-1]), 1.0)
+        b = np.asarray(beta)
+        assert b.min() >= -1e-6 and b.max() <= 1.0 + 1e-6
+
+    def test_monotone_for_small_mu(self):
+        m = make_model(obs_scale=0.1)
+        _, beta, _ = solve_beta_star_bisection(m.M0, m.Mh, mu=1e-3, n_grid=101)
+        assert np.all(np.diff(np.asarray(beta)) > -1e-4)
+
+    def test_mu_zero_is_linear(self):
+        """µ=0 ⇒ β'' = 0 ⇒ β(λ) = λ."""
+        m = make_model()
+        lam, beta, _ = solve_beta_star_bisection(m.M0, m.Mh, mu=0.0, n_grid=51)
+        np.testing.assert_allclose(np.asarray(beta), np.asarray(lam), atol=1e-4)
+
+
+@pytest.mark.integration
+class TestSPFvsKalman:
+    """Golden tests: SPF converges to the exact Kalman posterior
+    (reference ``test_spf_vs_kalman_posterior.py`` scenarios)."""
+
+    def _check(self, model, mean_tol, cov_rtol=0.35, **kw):
+        X, x_hat, info = run_generalized_spf(model, N=4000, n_steps=200, **kw)
+        m_post, P_post = model.kalman_posterior()
+        np.testing.assert_allclose(
+            np.asarray(x_hat), np.asarray(m_post), atol=mean_tol
+        )
+        emp_cov = np.cov(np.asarray(X).T)
+        np.testing.assert_allclose(
+            emp_cov, np.asarray(P_post), rtol=cov_rtol, atol=0.05
+        )
+        assert np.isclose(float(info["beta"][-1]), 1.0)
+
+    def test_informative_obs_linear_beta(self):
+        self._check(make_model(obs_scale=0.1), 0.1, beta_mode="linear")
+
+    def test_informative_obs_optimal_beta(self):
+        self._check(make_model(obs_scale=0.1), 0.1, beta_mode="optimal")
+
+    def test_uninformative_obs(self):
+        self._check(make_model(obs_scale=10.0), 0.15, beta_mode="linear")
+
+    def test_correlated_prior(self):
+        self._check(
+            make_model(prior_corr=0.6, obs_scale=0.5), 0.12, beta_mode="optimal"
+        )
+
+    def test_scaled_identity_diffusion(self):
+        self._check(
+            make_model(obs_scale=0.5), 0.12,
+            beta_mode="linear", Q_mode="scaled_identity", q_scale=0.05,
+        )
+
+    def test_particle_scaling_improves(self):
+        """More particles → closer posterior mean (MC convergence)."""
+        model = make_model(obs_scale=0.2)
+        m_post, _ = model.kalman_posterior()
+        errs = []
+        for N in (100, 4000):
+            _, x_hat, _ = run_generalized_spf(
+                model, N=N, n_steps=150, beta_mode="linear", seed=1
+            )
+            errs.append(float(jnp.linalg.norm(x_hat - m_post)))
+        assert errs[1] < errs[0] + 0.05
+
+    def test_invalid_modes_raise(self):
+        model = make_model()
+        with pytest.raises(ValueError, match="beta_mode"):
+            run_generalized_spf(model, N=10, n_steps=5, beta_mode="bogus")
+        with pytest.raises(ValueError, match="Q_mode"):
+            run_generalized_spf(model, N=10, n_steps=5, Q_mode="bogus")
