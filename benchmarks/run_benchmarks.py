@@ -1,0 +1,377 @@
+#!/usr/bin/env python
+"""Reproduce the reference's headline benchmarks on TPU.
+
+Reference numbers (BASELINE.md, CPU NumPy/TF-eager):
+
+| workload                         | reference                  |
+|----------------------------------|----------------------------|
+| SV (T=2000): EKF/UKF/PF ms/step  | 0.123 / 0.327 / 10.24      |
+| SV RMSE: EKF/UKF/PF              | 9.735 / 7.705 / 3.450      |
+| DPF N=50 step ms: soft/OT/RNN    | 8.0 / 3550 / 4.2           |
+| SNLG d=64 T=50: KF/UKF/EDH-200 s | 0.01 / 0.22 / 1.98 (x100 trials) |
+| MAT T=40 N=500: EDH/LEDH total s | 6.39 / 2095.7              |
+| SIR N=1e6 particle-steps/s       | ~2e5 (CPU, extrapolated)   |
+
+Data is re-simulated with the same model configs (seeds differ — JAX
+threefry vs NumPy PCG64 — so accuracy comparisons are config-parity, not
+bitwise). Writes benchmarks/results.json and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+RESULTS = {}
+
+
+def timed(fn, *args, reps=3, warmup=1):
+    """Best-of-reps wall time with device sync."""
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def bench_sv_classic():
+    """EKF / UKF / SIR-PF on the SV model, T=2000 (reference
+    EKF_UKF_PF_comparison.ipynb cell 9)."""
+    from particle_filters_tpu.models import (
+        ExtendedKalmanFilter,
+        ParticleFilter,
+        UnscentedKalmanFilter,
+        make_ekf_state,
+        make_ukf_state,
+    )
+    from particle_filters_tpu.simulators import simulate_sv_1d
+
+    T = 2000
+    alpha, sigma, beta = 0.95, 0.2, 1.0
+    sv = simulate_sv_1d(T, alpha, sigma, beta, seed=42)
+    X = sv.X
+
+    # EKF/UKF on the log-squared-observation transform (the standard
+    # Gaussianization; raw SV obs have state-dependent variance).
+    eps = 1e-8
+    y_log = jnp.log(sv.Y**2 + eps)[:, None]  # ≈ x + log β² + log W²
+    # log W² for W~N(0,1): mean ≈ −1.2704, var ≈ π²/2
+    gm = lambda x, u: alpha * x
+    hm = lambda x: x + jnp.log(beta**2) - 1.2704
+    Q = jnp.array([[sigma**2]])
+    R_log = jnp.array([[np.pi**2 / 2]])
+
+    ekf = ExtendedKalmanFilter(gm, hm, Q, R_log)
+    t_ekf, (_, means_e, _) = timed(
+        jax.jit(lambda z: ekf.run(make_ekf_state(jnp.zeros(1), jnp.eye(1)), z)),
+        y_log,
+    )
+    ukf = UnscentedKalmanFilter(gm, hm, Q, R_log, alpha=1.0)
+    t_ukf, (_, means_u, _) = timed(
+        jax.jit(lambda z: ukf.run(make_ukf_state(jnp.zeros(1), jnp.eye(1)), z)),
+        y_log,
+    )
+
+    def obs_ll(x, z):
+        var = beta**2 * jnp.exp(x[0])
+        return -0.5 * (z[0] ** 2 / var + jnp.log(var))
+
+    pf = ParticleFilter(gm, None, Q, None, Np=2000, obs_loglik=obs_ll)
+    st0 = pf.initialize(
+        jax.random.PRNGKey(0), jnp.zeros(1), jnp.array([[sigma**2 / (1 - alpha**2)]])
+    )
+    t_pf, (_, hist) = timed(
+        jax.jit(lambda k, s: pf.run(k, s, sv.Y[:, None])),
+        jax.random.PRNGKey(1),
+        st0,
+    )
+
+    RESULTS["sv_classic"] = {
+        "T": T,
+        "ekf_ms_per_step": t_ekf / T * 1e3,
+        "ukf_ms_per_step": t_ukf / T * 1e3,
+        "pf_ms_per_step": t_pf / T * 1e3,
+        "ekf_rmse": float(jnp.sqrt(jnp.mean((means_e[:, 0] - X) ** 2))),
+        "ukf_rmse": float(jnp.sqrt(jnp.mean((means_u[:, 0] - X) ** 2))),
+        "pf_rmse": float(jnp.sqrt(jnp.mean((hist["mean"][:, 0] - X) ** 2))),
+        "reference_ms_per_step": {"ekf": 0.123, "ukf": 0.327, "pf": 10.24},
+        "reference_rmse": {"ekf": 9.735, "ukf": 7.705, "pf": 3.450},
+    }
+
+
+def bench_dpf_linear():
+    """DPF soft/OT/RNN on a 1-D LGSSM, N=50, T=20 (reference
+    DPF_resampling_comparison_linear.ipynb cell 5)."""
+    from particle_filters_tpu.models import (
+        DPF_OT,
+        DifferentiableParticleFilter,
+        DifferentiableParticleFilterRNN,
+    )
+
+    key = jax.random.PRNGKey(0)
+    A_C, SQ, SR = 0.9, 0.3, 0.5
+    B, T, N = 1, 20, 50
+    ks = jax.random.split(key, T + 1)
+    x = jnp.zeros((B, 1))
+    xs, ys = [], []
+    for t in range(T):
+        k1, k2 = jax.random.split(ks[t])
+        x = A_C * x + SQ * jax.random.normal(k1, x.shape)
+        ys.append(x + SR * jax.random.normal(k2, x.shape))
+        xs.append(x)
+    X = jnp.stack(xs, 1)
+    Y = jnp.stack(ys, 1)
+    truth = jnp.concatenate([jnp.zeros((B, 1, 1)), X], axis=1)
+
+    def trans(k, p, params):
+        return A_C * p + SQ * jax.random.normal(k, p.shape, p.dtype)
+
+    def loglik(p, y, params):
+        return jnp.sum(-0.5 * (y[:, None, :] - p) ** 2 / SR**2, axis=-1)
+
+    out = {}
+    # soft
+    dpf = DifferentiableParticleFilter(N, 1, trans, loglik)
+    f = jax.jit(
+        lambda k: dpf.filter(k, Y, jnp.zeros(1), jnp.eye(1),
+                             return_diagnostics=True, ground_truth=truth)
+    )
+    t_soft, (_, _, diag) = timed(f, key)
+    out["soft_ms_per_step"] = t_soft / T * 1e3
+    out["soft_rmse"] = float(diag["mean_rmse"])
+
+    # OT
+    def trans1(k, p, t):
+        return A_C * p + SQ * jax.random.normal(k, p.shape, p.dtype)
+
+    def obsll1(p, y, t):
+        return jnp.sum(-0.5 * (y - p) ** 2 / SR**2, axis=-1)
+
+    dpf_ot = DPF_OT(N, 1, trans1, obsll1, epsilon=0.1, n_sinkhorn_iters=50)
+    f_ot = jax.jit(lambda k: dpf_ot.run_filter(k, Y[0], jnp.zeros(1), jnp.eye(1)))
+    t_ot, (ps, ws) = timed(f_ot, key)
+    means = jnp.einsum("tn,tnd->td", ws, ps)
+    out["ot_ms_per_step"] = t_ot / T * 1e3
+    out["ot_rmse"] = float(jnp.sqrt(jnp.mean((means[1:] - X[0]) ** 2)))
+
+    # RNN (baseline mode — untrained, like the reference comparison)
+    dpf_rnn = DifferentiableParticleFilterRNN(
+        N, 1, trans, loglik, use_baseline_resampling=True, temperature=0.5
+    )
+    params = dpf_rnn.init_resampler(key)
+    f_rnn = jax.jit(
+        lambda k: dpf_rnn.filter(params, k, Y, jnp.zeros(1), jnp.eye(1),
+                                 return_diagnostics=True, ground_truth=truth)
+    )
+    t_rnn, (_, _, diag_r) = timed(f_rnn, key)
+    out["rnn_ms_per_step"] = t_rnn / T * 1e3
+    out["rnn_rmse"] = float(diag_r["mean_rmse"])
+    out["reference_ms_per_step"] = {"soft": 8.0, "ot": 3550.0, "rnn": 4.2}
+    out["reference_rmse"] = {"soft": 0.3653, "ot": 0.3336, "rnn": 0.5018}
+    RESULTS["dpf_linear"] = out
+
+
+def bench_snlg():
+    """KF / UKF / EDH-200 on SNLG d=64, T=50 (reference
+    PF_PF_results_reproduction_snlg.ipynb cell 11; 5 trials here vs 100)."""
+    from particle_filters_tpu.core.linalg import mvn_logpdf_chol
+    from particle_filters_tpu.models import (
+        EDHConfig,
+        EDHFlowPF,
+        ExtendedKalmanFilter,
+        GaussianTracker,
+        UnscentedKalmanFilter,
+        kalman_filter_general,
+        make_ukf_state,
+    )
+    from particle_filters_tpu.simulators import SNLGConfig, simulate_snlg_dataset
+
+    D, T, TRIALS, SZ, AL = 64, 50, 5, 2.0, 0.9
+    ds = simulate_snlg_dataset(
+        SNLGConfig(d=D, T=T, trials=TRIALS, sigmas=(SZ,), seed=123)
+    )
+    I = jnp.eye(D)
+    Sigma = jnp.asarray(ds.Sigma)
+    R = SZ**2 * I
+
+    # KF over all trials (vmapped)
+    kf_run = jax.jit(
+        jax.vmap(
+            lambda Z: kalman_filter_general(
+                Z, AL * I, I, I, Sigma, R, x0=jnp.zeros(D), P0=Sigma
+            ).x_filt
+        )
+    )
+    t_kf, kf_means = timed(kf_run, ds.Z[0])
+    kf_mse = float(jnp.mean((kf_means - ds.X[0, :, 1:]) ** 2))
+
+    ukf = UnscentedKalmanFilter(lambda x, u: AL * x, lambda x: x, Sigma, R, alpha=1.0)
+    ukf_run = jax.jit(
+        jax.vmap(lambda Z: ukf.run(make_ukf_state(jnp.zeros(D), Sigma), Z)[1])
+    )
+    t_ukf, ukf_means = timed(ukf_run, ds.Z[0])
+    ukf_mse = float(jnp.mean((ukf_means - ds.X[0, :, 1:]) ** 2))
+
+    # EDH with 200 particles
+    LQ = jnp.linalg.cholesky(Sigma + 1e-6 * I)
+    LR = SZ * I
+    g = lambda x, u, v: AL * x + v
+    h = lambda x: x
+    jh = lambda x: I
+    lt = lambda xn, xo: mvn_logpdf_chol(xn, AL * xo, LQ)
+    ll = lambda z, x: mvn_logpdf_chol(z, x, LR)
+    ns = lambda k, n, nx: jax.random.normal(k, (n, nx)) @ LQ.T
+    ekf = ExtendedKalmanFilter(lambda x, u: AL * x, h, Sigma, R)
+    tracker = GaussianTracker(ekf)
+    edh = EDHFlowPF(
+        tracker, g, h, jh, lt, ll, R,
+        EDHConfig(n_particles=200, flow_integrator="euler"),
+    )
+
+    def run_one(key, Z):
+        st = edh.init_from_gaussian(key, jnp.zeros(D), Sigma)
+        ts = tracker.init(jnp.zeros(D), Sigma)
+        _, _, hist = edh.run(key, st, ts, Z, process_noise_sampler=ns)
+        return hist["mean"]
+
+    edh_run = jax.jit(
+        jax.vmap(run_one, in_axes=(0, 0))
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), TRIALS)
+    t_edh, edh_means = timed(edh_run, keys, ds.Z[0])
+    edh_mse = float(jnp.mean((edh_means - ds.X[0, :, 1:]) ** 2))
+
+    RESULTS["snlg_d64"] = {
+        "trials": TRIALS,
+        "kf_total_s": t_kf,
+        "ukf_total_s": t_ukf,
+        "edh200_total_s": t_edh,
+        "kf_mse": kf_mse,
+        "ukf_mse": ukf_mse,
+        "edh200_mse": edh_mse,
+        "reference": {
+            "trials": 100,
+            "kf_s": 0.01, "ukf_s": 0.22, "edh200_s": 1.98,
+            "kf_mse": 0.4958, "ukf_mse": 0.4958, "edh200_mse": 0.6510,
+        },
+    }
+
+
+def bench_mat_flows():
+    """EDH vs LEDH on MAT, T=40, N=500 (reference
+    PF_PF_results_reproduction_multi_target_acoustic_tracking.ipynb:
+    EDH 6.39 s, LEDH 2095.7 s)."""
+    from particle_filters_tpu.core.linalg import mvn_logpdf_chol
+    from particle_filters_tpu.models import (
+        EDHConfig,
+        EDHFlowPF,
+        ExtendedKalmanFilter,
+        GaussianTracker,
+        LEDHConfig,
+        LEDHFlowPF,
+    )
+    from particle_filters_tpu.simulators import (
+        MATDynamicsConfig,
+        MATScenarioConfig,
+        acoustic_measurement_model,
+        article_initial_states,
+        article_process_noise_cov,
+        build_cv_transition,
+        simulate_acoustic_dataset,
+    )
+    from particle_filters_tpu.utils.diagnostics import omat
+
+    C, NX, T, N = 4, 16, 40, 500
+    mat = simulate_acoustic_dataset(
+        MATScenarioConfig(n_steps=T, seed=7), MATDynamicsConfig()
+    )
+    sensors = mat.S
+    nz = sensors.shape[0]
+    F = jnp.kron(jnp.eye(C), build_cv_transition(1.0))
+    Q = jnp.kron(jnp.eye(C), article_process_noise_cov())
+    LQ = jnp.linalg.cholesky(Q + 1e-8 * jnp.eye(NX))
+    R = 0.01 * jnp.eye(nz)
+    LR = 0.1 * jnp.eye(nz)
+
+    def h(x):
+        pos = x.reshape(C, 4)[:, :2]
+        return acoustic_measurement_model(pos[None], sensors, 10.0, 0.1)[0]
+
+    jac_h = jax.jacfwd(h)
+    g = lambda x, u, v: F @ x + v
+    lt = lambda xn, xo: mvn_logpdf_chol(xn, F @ xo, LQ)
+    ll = lambda z, x: mvn_logpdf_chol(z, h(x), LR)
+    ns = lambda k, n, nx: jax.random.normal(k, (n, nx)) @ LQ.T
+    key = jax.random.PRNGKey(0)
+    zs = mat.Z + 0.1 * jax.random.normal(key, mat.Z.shape)
+    x0 = article_initial_states(C).reshape(-1) + 0.5 * jax.random.normal(key, (NX,))
+
+    out = {"T": T, "N": N}
+    for name, cls, cfg in [
+        ("edh", EDHFlowPF, EDHConfig(n_particles=N, flow_integrator="euler")),
+        ("ledh", LEDHFlowPF, LEDHConfig(n_particles=N)),
+    ]:
+        ekf = ExtendedKalmanFilter(lambda x, u: F @ x, h, Q, R, jitter=1e-5)
+        tracker = GaussianTracker(ekf)
+        filt = cls(tracker, g, h, jac_h, lt, ll, R, cfg)
+        st = filt.init_from_gaussian(key, x0, jnp.eye(NX))
+        ts = tracker.init(x0, jnp.eye(NX))
+        run = jax.jit(
+            lambda k, s, t: filt.run(k, s, t, zs, process_noise_sampler=ns)
+        )
+        t_run, (_, _, hist) = timed(run, key, st, ts, reps=2)
+        est = np.asarray(hist["mean"])
+        omats = [
+            omat(est[t].reshape(C, 4)[:, :2], np.asarray(mat.P[t + 0]))
+            for t in range(0, T, 5)
+        ]
+        out[f"{name}_total_s"] = t_run
+        out[f"{name}_avg_omat"] = float(np.mean(omats))
+    out["reference"] = {
+        "edh_s": 6.39, "ledh_s": 2095.7,
+        "edh_omat": 10.05, "ledh_omat": 10.70,
+    }
+    RESULTS["mat_flows"] = out
+
+
+def main():
+    which = sys.argv[1:] if len(sys.argv) > 1 else [
+        "sv_classic", "dpf_linear", "snlg", "mat_flows"
+    ]
+    benches = {
+        "sv_classic": bench_sv_classic,
+        "dpf_linear": bench_dpf_linear,
+        "snlg": bench_snlg,
+        "mat_flows": bench_mat_flows,
+    }
+    for name in which:
+        print(f"=== {name} ===", flush=True)
+        t0 = time.time()
+        benches[name]()
+        print(json.dumps(RESULTS[list(RESULTS)[-1]], indent=2, default=float))
+        print(f"({time.time()-t0:.0f}s incl. compile)", flush=True)
+
+    out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out_path, "w") as f:
+        json.dump(
+            {"backend": jax.default_backend(), "results": RESULTS},
+            f, indent=2, default=float,
+        )
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

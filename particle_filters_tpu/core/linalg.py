@@ -11,9 +11,31 @@ unrolled retry ladder instead of a data-dependent Python loop).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def with_f32_matmuls(fn):
+    """Trace ``fn`` under full-float32 matmul precision.
+
+    On TPU, XLA's default f32 "matmul" runs in bf16 passes (~8 mantissa
+    bits). That is fine for the particle-sized elementwise math but corrupts
+    the small-matrix covariance algebra in the filters: the EDH flow on the
+    acoustic-tracking benchmark diverges under bf16 (OMAT 2980 vs 6.5 with
+    f32) while being bit-stable on CPU. Every filter whose step is built
+    from covariance products decorates its hot methods with this. Cost is
+    negligible — the affected matmuls are nx×nx with nx ≤ ~1000.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def symmetrize(a: jax.Array) -> jax.Array:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.linalg import with_f32_matmuls
 from particle_filters_tpu.core.structs import pytree_dataclass
 
 
@@ -104,6 +105,7 @@ class ExtendedKalmanFilter:
 
     # ------------------------- core EKF ops -------------------------
 
+    @with_f32_matmuls
     def predict(self, state: EKFState, u=None) -> EKFState:
         """Time update: x⁻ = g(x, u), P⁻ = G P Gᵀ + Q (reference :164)."""
         x_pred = self.g(state.mean, u)
@@ -111,6 +113,7 @@ class ExtendedKalmanFilter:
         P_pred = G @ state.cov @ G.T + self.Q
         return EKFState(mean=x_pred, cov=P_pred, t=state.t + 1)
 
+    @with_f32_matmuls
     def update(self, pred: EKFState, z) -> EKFState:
         """Measurement update (reference :196); gain via Cholesky solve."""
         z = jnp.asarray(z)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from particle_filters_tpu.core.linalg import chol_with_jitter, _LOG_2PI
+from particle_filters_tpu.core.linalg import chol_with_jitter, with_f32_matmuls, _LOG_2PI
 from particle_filters_tpu.core.structs import pytree_dataclass
 
 
@@ -54,6 +54,7 @@ def _as_stacked(M, N: int, name: str, ndim: int = 2) -> jax.Array:
     raise ValueError(f"{name} must have {ndim} or {ndim + 1} dims, got {M.ndim}.")
 
 
+@with_f32_matmuls
 def kalman_filter_general(
     Y: jax.Array,
     Phi,

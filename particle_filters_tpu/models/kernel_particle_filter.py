@@ -31,6 +31,7 @@ import numpy as np
 from jax import lax
 
 from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.linalg import with_f32_matmuls
 from particle_filters_tpu.core.structs import pytree_dataclass, static_field
 
 
@@ -198,6 +199,7 @@ class KernelParticleFilter:
 
     # ------------------------------ analyze ------------------------------
 
+    @with_f32_matmuls
     def analyze(
         self,
         X,

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.linalg import with_f32_matmuls
 from particle_filters_tpu.core.structs import pytree_dataclass, static_field
 from particle_filters_tpu.core.weights import (
     ess_from_logw,
@@ -118,6 +119,7 @@ class LEDHFlowPF:
         cond = jnp.abs(ev[-1]) / jnp.maximum(jnp.abs(ev[0]), 1e-30)
         return eta_new, etabar_new, logdet, cond
 
+    @with_f32_matmuls
     def step(
         self,
         key: jax.Array,

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize, with_f32_matmuls
 from particle_filters_tpu.core.structs import pytree_dataclass
 
 
@@ -124,6 +124,7 @@ def kappa2_and_derivative(
     return kappa, dkappa
 
 
+@with_f32_matmuls
 def solve_beta_star_bisection(
     M0: jax.Array,
     Mh: jax.Array,
@@ -219,6 +220,7 @@ def solve_beta_star_bisection(
     return lam, beta, betadot
 
 
+@with_f32_matmuls
 def run_generalized_spf(
     model: LinearGaussianBayes,
     N: int = 2000,

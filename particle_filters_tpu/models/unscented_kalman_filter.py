@@ -21,6 +21,7 @@ import numpy as np
 from jax import lax
 
 from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.linalg import with_f32_matmuls
 from particle_filters_tpu.core.structs import pytree_dataclass
 
 
@@ -119,6 +120,7 @@ class UnscentedKalmanFilter:
 
     # ------------------------------ core ops ------------------------------
 
+    @with_f32_matmuls
     def predict(self, state: UKFState, u=None) -> UKFState:
         """Unscented transform through g (reference :129); vmapped."""
         X = self._sigma_points(state.mean, state.cov)
@@ -128,6 +130,7 @@ class UnscentedKalmanFilter:
         P_pred = self.Q + jnp.einsum("i,ij,ik->jk", self.Wc, DX, DX)
         return UKFState(mean=x_pred, cov=P_pred, t=state.t + 1)
 
+    @with_f32_matmuls
     def update(self, pred: UKFState, z) -> UKFState:
         """Unscented transform through h + Kalman update (reference :154)."""
         z = jnp.asarray(z)

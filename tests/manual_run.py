@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Phased test runner — run the suite in named phases.
+
+Equivalent of reference ``tests/manual_run.py`` (a 797-line argparse
+subprocess-pytest wrapper with ANSI formatting): select a phase with
+``--phase`` and it shells out to pytest for that slice of the suite.
+
+    python tests/manual_run.py --phase pf
+    python tests/manual_run.py --phase all
+    python tests/manual_run.py --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+
+PHASES = {
+    "core": ["tests/unit/test_core.py"],
+    "resampling": ["tests/unit/test_resampling.py"],
+    "sim": ["tests/unit/test_simulators.py"],
+    "kf": ["tests/unit/test_classical_filters.py::TestKF"],
+    "ekf": ["tests/unit/test_classical_filters.py::TestEKF"],
+    "ukf": ["tests/unit/test_classical_filters.py::TestUKF"],
+    "pf": ["tests/unit/test_particle_filter.py"],
+    "flows": ["tests/unit/test_flow_filters.py"],
+    "kpf": ["tests/unit/test_kpf.py"],
+    "spf": ["tests/unit/test_spf.py"],
+    "dpf": ["tests/unit/test_dpf.py"],
+    "sharding": ["tests/unit/test_sharding.py"],
+    "unit": ["tests/unit"],
+    "integration": ["tests/integration"],
+    "sv": [
+        "tests/unit/test_particle_filter.py::TestPFOnSV",
+        "tests/unit/test_simulators.py::TestSV",
+    ],
+    "lorenz": [
+        "tests/unit/test_simulators.py::TestLorenz96",
+        "tests/integration/test_kpf_lorenz96.py",
+    ],
+    "snlg": [
+        "tests/unit/test_simulators.py::TestSNLG",
+        "tests/integration/test_filters_snlg.py",
+    ],
+    "skewt": [
+        "tests/unit/test_simulators.py::TestSkewT",
+        "tests/integration/test_filters_skewt.py",
+    ],
+    "mat": [
+        "tests/unit/test_simulators.py::TestMAT",
+        "tests/integration/test_filters_mat.py",
+    ],
+    "all": ["tests"],
+}
+
+BOLD, GREEN, RED, RESET = "\033[1m", "\033[92m", "\033[91m", "\033[0m"
+
+
+def run_phase(name: str, extra: list[str]) -> int:
+    targets = PHASES[name]
+    print(f"{BOLD}=== phase: {name} → {' '.join(targets)} ==={RESET}")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", *targets, *extra]
+    )
+    dt = time.time() - t0
+    color = GREEN if proc.returncode == 0 else RED
+    status = "PASSED" if proc.returncode == 0 else "FAILED"
+    print(f"{color}{BOLD}phase {name}: {status} in {dt:.1f}s{RESET}")
+    return proc.returncode
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--phase",
+        choices=sorted(PHASES),
+        default="all",
+        help="named test phase to run",
+    )
+    parser.add_argument(
+        "--list", action="store_true", help="list phases and exit"
+    )
+    args, extra = parser.parse_known_args()
+    if args.list:
+        for name, targets in sorted(PHASES.items()):
+            print(f"{name:12s} -> {' '.join(targets)}")
+        return 0
+    return run_phase(args.phase, extra)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
