@@ -50,7 +50,10 @@ def main() -> None:
         obs_loglik=obs_loglik,
     )
 
-    key = jax.random.PRNGKey(0)
+    # rbg PRNG: ~2× faster than the default threefry for the 1e6-normals
+    # propagate draw (the single hottest op); pass any key impl you like —
+    # the filter is impl-agnostic.
+    key = jax.random.key(0, impl="rbg")
     state0 = pf.initialize(
         key,
         jnp.zeros(1, jnp.float32),
@@ -61,7 +64,7 @@ def main() -> None:
     run = jax.jit(lambda k, s: pf.run(k, s, zs))
 
     # Compile + warm up.
-    final, hist = run(jax.random.PRNGKey(1), state0)
+    final, hist = run(jax.random.key(1, impl="rbg"), state0)
     jax.block_until_ready(hist["mean"])
 
     # Timed runs.
@@ -69,7 +72,7 @@ def main() -> None:
     times = []
     for i in range(n_rep):
         t0 = time.perf_counter()
-        final, hist = run(jax.random.PRNGKey(2 + i), state0)
+        final, hist = run(jax.random.key(2 + i, impl="rbg"), state0)
         jax.block_until_ready(hist["mean"])
         times.append(time.perf_counter() - t0)
     best = min(times)

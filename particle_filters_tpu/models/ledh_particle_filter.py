@@ -114,10 +114,17 @@ class LEDHFlowPF:
         sign, logdet = jnp.linalg.slogdet(M)
         sign2, logdet2 = jnp.linalg.slogdet(M + 1e-12 * I)
         logdet = jnp.where(sign > 0, logdet, logdet2)
-        # cond(Sⁱ) diagnostic (reference records particle 0 only)
-        ev = jnp.linalg.eigvalsh(symmetrize(Si))
-        cond = jnp.abs(ev[-1]) / jnp.maximum(jnp.abs(ev[0]), 1e-30)
-        return eta_new, etabar_new, logdet, cond
+        return eta_new, etabar_new, logdet
+
+    def _cond_first_particle(self, lam, eta_0, P):
+        """cond(S⁰) diagnostic for particle 0 only — matching the reference
+        (:150-157), which records a single particle's condition number. Kept
+        OUT of the vmapped flow: an eigvalsh per particle per λ-step would
+        dominate the whole filter."""
+        H0 = self.Jh(eta_0)
+        S0 = lam * (H0 @ P @ H0.T) + self.R
+        ev = jnp.linalg.eigvalsh(symmetrize(S0))
+        return jnp.abs(ev[-1]) / jnp.maximum(jnp.abs(ev[0]), 1e-30)
 
     @with_f32_matmuls
     def step(
@@ -156,10 +163,11 @@ class LEDHFlowPF:
 
         def flow_step(carry, lam):
             eta, etabar, theta_log = carry
-            eta_new, etabar_new, logdets, conds = flow_batched(
+            cond0 = self._cond_first_particle(lam, eta[0], P)
+            eta_new, etabar_new, logdets = flow_batched(
                 lam, dlam, eta, etabar, eta0, P, z, I
             )
-            return (eta_new, etabar_new, theta_log + logdets), conds[0]
+            return (eta_new, etabar_new, theta_log + logdets), cond0
 
         # ȳ₀ⁱ = η₀ⁱ (strict LEDH, reference :117-121); θ = 1 (log 0).
         (eta, _, theta_log), conds = lax.scan(
