@@ -21,9 +21,15 @@ from particle_filters_tpu.resampling.hard import (
 )
 from particle_filters_tpu.resampling.soft import soft_resample
 from particle_filters_tpu.resampling.ot import sinkhorn_ot_resample, ot_resample
+from particle_filters_tpu.resampling.ot_blockwise import (
+    ot_resample_blockwise,
+    sinkhorn_ot_resample_blockwise,
+)
 from particle_filters_tpu.resampling.rnn import RNNResampler, rnn_resample
 
 __all__ = [
+    "ot_resample_blockwise",
+    "sinkhorn_ot_resample_blockwise",
     "systematic_resample",
     "multinomial_resample",
     "stratified_resample",

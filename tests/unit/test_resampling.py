@@ -287,3 +287,49 @@ class TestRNNResampling:
     def test_invalid_rnn_type_raises(self):
         with pytest.raises(ValueError, match="Unknown RNN type"):
             RNNResampler(4, 1, rnn_type="transformer")
+
+
+class TestOTBlockwise:
+    """Blockwise Sinkhorn (never materializes N×N) vs the dense path."""
+
+    def test_matches_dense(self, key):
+        from particle_filters_tpu.resampling import (
+            sinkhorn_ot_resample,
+            sinkhorn_ot_resample_blockwise,
+        )
+
+        for n, d, block in [(100, 2, 32), (500, 3, 128), (130, 1, 64)]:
+            p = jax.random.normal(jax.random.fold_in(key, n), (n, d))
+            w = jax.nn.softmax(jax.random.normal(key, (n,)) * 1.5)
+            d_p, d_w = sinkhorn_ot_resample(p, w, epsilon=0.2, n_iters=25)
+            b_p, b_w = sinkhorn_ot_resample_blockwise(
+                p, w, epsilon=0.2, n_iters=25, block=block
+            )
+            np.testing.assert_allclose(
+                np.asarray(d_p), np.asarray(b_p), atol=1e-4
+            )
+            np.testing.assert_allclose(np.asarray(d_w), np.asarray(b_w))
+
+    def test_ragged_n_padding(self, key):
+        """N not a multiple of the block size is handled by padding."""
+        from particle_filters_tpu.resampling import sinkhorn_ot_resample_blockwise
+
+        n = 77
+        p = jax.random.normal(key, (n, 2))
+        w = jax.nn.softmax(jax.random.normal(key, (n,)))
+        b_p, b_w = sinkhorn_ot_resample_blockwise(p, w, n_iters=10, block=32)
+        assert b_p.shape == (n, 2)
+        assert np.all(np.isfinite(np.asarray(b_p)))
+
+    def test_differentiable(self, key):
+        from particle_filters_tpu.resampling import ot_resample_blockwise
+
+        p = jax.random.normal(key, (64, 2))
+        lw = jax.random.normal(key, (64,))
+
+        def loss(p):
+            q, _ = ot_resample_blockwise(key, p, lw, n_iters=5, block=32)
+            return jnp.sum(q**2)
+
+        g = jax.grad(loss)(p)
+        assert np.all(np.isfinite(np.asarray(g)))
