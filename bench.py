@@ -5,6 +5,10 @@ North-star metric (BASELINE.json): particle-steps/sec/chip at N=1e6.
 Reference baseline: CPU NumPy SIR PF ≈ 2×10⁵ particle-steps/s
 (BASELINE.md — 10.24 ms/step at Np≈2000, EKF_UKF_PF_comparison.ipynb).
 
+Uses the framework's fused Pallas step (``ops/fused_pf.py``) on TPU — one
+kernel pass per filter step with on-chip PRNG — with N = 2²⁰ ≥ 1e6; falls
+back to the generic ``ParticleFilter`` on other backends.
+
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
    "extras": {...}}
@@ -23,56 +27,69 @@ BASELINE_PARTICLE_STEPS_PER_SEC = 2.0e5  # reference CPU SIR PF (BASELINE.md)
 
 
 def main() -> None:
-    from particle_filters_tpu.models.particle_filter import ParticleFilter
     from particle_filters_tpu.simulators.stochastic_volatility import simulate_sv_1d
 
-    n_particles = 1_000_000
     n_steps = 200
     alpha, sigma, beta = 0.95, 0.2, 1.0
-
     sv = simulate_sv_1d(n_steps, alpha, sigma, beta, seed=42)
-
-    def g(x, u):
-        return alpha * x
-
-    def obs_loglik(x, z):
-        var = beta**2 * jnp.exp(x[0])
-        return -0.5 * (z[0] ** 2 / var + jnp.log(var))
-
-    pf = ParticleFilter(
-        g,
-        None,
-        Q=jnp.array([[sigma**2]], jnp.float32),
-        R=None,
-        Np=n_particles,
-        resample_thresh=0.5,
-        resample_method="systematic",
-        obs_loglik=obs_loglik,
-    )
-
-    # rbg PRNG: ~2× faster than the default threefry for the 1e6-normals
-    # propagate draw (the single hottest op); pass any key impl you like —
-    # the filter is impl-agnostic.
-    key = jax.random.key(0, impl="rbg")
-    state0 = pf.initialize(
-        key,
-        jnp.zeros(1, jnp.float32),
-        jnp.array([[sigma**2 / (1 - alpha**2)]], jnp.float32),
-    )
     zs = sv.Y[:, None]
 
-    run = jax.jit(lambda k, s: pf.run(k, s, zs))
+    use_fused = jax.default_backend() == "tpu"
+    if use_fused:
+        from particle_filters_tpu.ops.fused_pf import FusedSIRFilter
+
+        n_particles = 1_048_576  # 2^20 ≥ 1e6 (block-aligned)
+        g_vec = lambda x: alpha * x
+
+        def obs_ll_vec(x, z):
+            # elementwise on the kernel block; beta = 1
+            return -0.5 * (z[0] ** 2 / jnp.exp(x) + x)
+
+        pf = FusedSIRFilter(
+            g_vec, obs_ll_vec, Q=np.array([[sigma**2]]),
+            Np=n_particles, resample_thresh=0.5,
+        )
+        state0 = pf.initialize(
+            jax.random.PRNGKey(0),
+            jnp.zeros(1),
+            jnp.array([[sigma**2 / (1 - alpha**2)]]),
+        )
+        run = jax.jit(lambda k, s: pf.run(k, s, zs))
+        keys = [jax.random.PRNGKey(2 + i) for i in range(4)]
+    else:
+        from particle_filters_tpu.models.particle_filter import ParticleFilter
+
+        n_particles = 1_000_000
+
+        def g(x, u):
+            return alpha * x
+
+        def obs_loglik(x, z):
+            var = beta**2 * jnp.exp(x[0])
+            return -0.5 * (z[0] ** 2 / var + jnp.log(var))
+
+        pf = ParticleFilter(
+            g, None, Q=jnp.array([[sigma**2]], jnp.float32), R=None,
+            Np=n_particles, resample_thresh=0.5,
+            resample_method="systematic", obs_loglik=obs_loglik,
+        )
+        state0 = pf.initialize(
+            jax.random.key(0, impl="rbg"),
+            jnp.zeros(1, jnp.float32),
+            jnp.array([[sigma**2 / (1 - alpha**2)]], jnp.float32),
+        )
+        run = jax.jit(lambda k, s: pf.run(k, s, zs))
+        keys = [jax.random.key(2 + i, impl="rbg") for i in range(4)]
 
     # Compile + warm up.
-    final, hist = run(jax.random.key(1, impl="rbg"), state0)
+    final, hist = run(keys[0], state0)
     jax.block_until_ready(hist["mean"])
 
     # Timed runs.
-    n_rep = 3
     times = []
-    for i in range(n_rep):
+    for i in range(3):
         t0 = time.perf_counter()
-        final, hist = run(jax.random.key(2 + i, impl="rbg"), state0)
+        final, hist = run(keys[1 + i], state0)
         jax.block_until_ready(hist["mean"])
         times.append(time.perf_counter() - t0)
     best = min(times)
@@ -96,6 +113,7 @@ def main() -> None:
                     "ms_per_step": ms_per_step,
                     "sv_rmse": rmse,
                     "resample_frac": resample_frac,
+                    "fused_pallas_step": use_fused,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },

@@ -1,0 +1,297 @@
+"""Fused SIR propagate+weight step (Pallas TPU kernel, on-chip PRNG).
+
+The generic ``ParticleFilter`` step at N=10⁶ is dominated by HBM passes and
+by ``jax.random.normal`` (erfinv over threefry/rbg bits): ~0.38 ms/step
+when no resample triggers. This kernel fuses the whole non-resampling step
+into ONE pass over the particle arrays:
+
+    bits → Box-Muller normals → x' = g(x) + Lq·ε → Δlogw = obs_ll(x', z)
+    → per-block weight partials (max, Σe, Σe², Σe·x, Σe·x⊗x)
+
+so the step reads 8 MB, writes 8 MB + tiny partials, and never touches HBM
+again. Log-weights stay UNNORMALIZED in the carry (the per-step
+log-normalizer comes out of the partials for free); ESS / posterior
+mean / cov are computed exactly from the partials. Resampling reuses the
+blocked kernel from ``resample_pallas.py`` under ``lax.cond``.
+
+Constraints of the fused path (``FusedSIRFilter``):
+- particle-pointwise models: ``g_vec`` and ``obs_loglik_vec`` act
+  independently per particle on an (nx, B) block;
+- nx ≤ 10 (the covariance partials ride a 128-lane scratch row);
+- additive Gaussian process noise x' = g(x) + Lq ε.
+
+The SV benchmark workload satisfies all three; the generic
+``ParticleFilter`` remains the fully general path. Statistical equivalence
+of the two is tested (same RMSE/ESS behavior on the SV model).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from particle_filters_tpu.core.weights import uniform_logw
+from particle_filters_tpu.ops.resample_pallas import (
+    systematic_resample_values_blocked,
+)
+
+_TWO_PI = 6.283185307179586
+
+
+def _bits_to_unit_open(bits):
+    """uint32 bits → float32 in (0, 1]: mantissa-fill trick, exact and cheap
+    (no int→float division)."""
+    f = pltpu.bitcast(
+        jnp.bitwise_or(
+            jnp.right_shift(bits, jnp.uint32(9)), jnp.uint32(0x3F800000)
+        ),
+        jnp.float32,
+    )
+    return 2.0 - f  # f ∈ [1, 2) ⇒ 2−f ∈ (1 − ... , 1], bounded away from 0
+
+
+def _fused_kernel(
+    seed_ref,  # (1, 1) int32 SMEM: per-step seed
+    z_ref,  # (1, 128) f32 VMEM: observation (padded)
+    p_ref,  # (nx, B) f32 VMEM: particle block (transposed layout)
+    lw_ref,  # (1, B) f32 VMEM: unnormalized log-weights
+    p_out,  # (nx, B)
+    lw_out,  # (1, B)
+    part_out,  # (1, 128) per-block weight partials
+    *,
+    g_vec: Callable,
+    obs_ll_vec: Callable,
+    Lq: np.ndarray,  # (nx, nx) static
+    nx: int,
+):
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0, 0] + b)
+
+    shape = p_ref[:, :].shape  # (rows, B) — rows = 8 for nx=1, else nx
+    u1 = _bits_to_unit_open(
+        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    )
+    u2 = _bits_to_unit_open(
+        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    )
+    # Box-Muller: one normal per pair of uniforms
+    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+    x = p_ref[:, :]
+    x_new = g_vec(x)
+    if nx == 1:
+        # (8, B/8) elementwise layout: full VPU sublane utilization
+        noise = Lq[0, 0] * eps
+    else:
+        noise = jnp.dot(
+            jnp.asarray(Lq, jnp.float32), eps,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    x_new = x_new + noise
+    p_out[:, :] = x_new
+
+    z = z_ref[0, :]
+    loglik = obs_ll_vec(x_new, z)  # same shape as x_new rowspace
+    lw = lw_ref[:, :] + loglik.reshape(lw_ref.shape)
+    lw_out[:, :] = lw
+
+    # --- weight partials relative to the block max -----------------------
+    m = jnp.max(lw)
+    e = jnp.exp(lw - m)
+    s = jnp.sum(e)
+    e2 = jnp.sum(e * e)
+    if nx == 1:
+        ex = jnp.sum(e * x_new).reshape(1)
+        exx = jnp.sum(e * x_new * x_new).reshape(1)
+    else:
+        ex = jnp.sum(e * x_new, axis=1)  # (nx,)
+        # Σ e·x⊗x as (nx, B)·(B, nx) — Mosaic-friendly contraction
+        exx = jax.lax.dot_general(
+            x_new * e,
+            x_new,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(nx * nx)
+    head = jnp.stack([m, s, e2])  # (3,)
+    packed = jnp.concatenate([head, ex, exx])  # (3 + nx + nx²,)
+    pad = 128 - packed.shape[0]
+    part_out[:, :] = jnp.concatenate(
+        [packed, jnp.zeros((pad,), jnp.float32)]
+    ).reshape(1, 128)
+
+
+def _combine_partials(partials, nx: int):
+    """Exact global moments from per-block (max, Σe, Σe², Σe·x, Σe·x⊗x)."""
+    m_b = partials[:, 0]
+    s_b = partials[:, 1]
+    e2_b = partials[:, 2]
+    ex_b = partials[:, 3 : 3 + nx]
+    exx_b = partials[:, 3 + nx : 3 + nx + nx * nx]
+
+    m_g = jnp.max(m_b)
+    scale = jnp.exp(m_b - m_g)  # (n_blocks,)
+    Z = jnp.sum(s_b * scale)
+    log_z = m_g + jnp.log(jnp.maximum(Z, 1e-30))
+    sum_w2 = jnp.sum(e2_b * scale * scale)  # Σ exp(2(lw − m_g))
+    ess = (Z * Z) / jnp.maximum(sum_w2, 1e-30)
+    mean = (scale @ ex_b) / Z  # (nx,)
+    exx = (scale @ exx_b).reshape(nx, nx) / Z
+    cov = exx - jnp.outer(mean, mean)
+    return log_z, ess, mean, cov
+
+
+class FusedSIRFilter:
+    """SIR PF with the fused Pallas step (TPU; pointwise models, nx ≤ 10).
+
+    API mirrors ``ParticleFilter`` where it matters: ``initialize`` then
+    ``run(key, state, zs)`` returning the same history dict
+    (mean/cov/ess/resampled). Internally particles ride an (nx, N)
+    lane-major layout and log-weights stay unnormalized between steps.
+    """
+
+    def __init__(
+        self,
+        g_vec: Callable,  # (nx, B) -> (nx, B)
+        obs_loglik_vec: Callable,  # ((nx, B), z (128,)) -> (1, B) or (B,)
+        Q,
+        *,
+        Np: int,
+        resample_thresh: float = 0.5,
+        block: int = 65536,
+    ) -> None:
+        self.g_vec = g_vec
+        self.obs_loglik_vec = obs_loglik_vec
+        self.Q = np.asarray(Q, np.float32)
+        self.nx = self.Q.shape[0]
+        if self.nx > 10:
+            raise ValueError("FusedSIRFilter supports nx <= 10.")
+        self.Lq = np.linalg.cholesky(self.Q + 1e-10 * np.eye(self.nx)).astype(
+            np.float32
+        )
+        self.Np = int(Np)
+        self.block = int(min(block, Np))
+        if Np % self.block != 0:
+            raise ValueError("Np must be a multiple of the block size.")
+        # Internal layout: nx=1 states are stored (8, Np/8) so elementwise
+        # kernel math uses all 8 VPU sublanes (a (1, B) block runs at 1/8
+        # utilization). Particles are exchangeable, so the row-major
+        # bijection to (Np,) is immaterial.
+        self.rows = 8 if self.nx == 1 else self.nx
+        self.cols = self.Np // 8 if self.nx == 1 else self.Np
+        self.bcols = self.block // 8 if self.nx == 1 else self.block
+        if self.nx == 1 and self.Np % 8 != 0:
+            raise ValueError("Np must be a multiple of 8 for nx=1.")
+        self.resample_thresh = float(resample_thresh)
+
+    def initialize(self, key, mean, cov):
+        mean = jnp.asarray(mean, jnp.float32).reshape(-1)
+        L = jnp.linalg.cholesky(
+            jnp.atleast_2d(jnp.asarray(cov, jnp.float32))
+            + 1e-10 * jnp.eye(self.nx)
+        )
+        eps = jax.random.normal(key, (self.nx, self.Np), jnp.float32)
+        particles_t = (mean[:, None] + L @ eps).reshape(self.rows, self.cols)
+        logw = jnp.zeros((self.rows, self.cols), jnp.float32)  # unnormalized
+        return particles_t, logw
+
+    def _fused_step(self, seed, particles_t, logw, z):
+        n_blocks = self.Np // self.block
+        nz = z.shape[0]
+        z_pad = jnp.zeros((1, 128), jnp.float32).at[0, :nz].set(z)
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+        kern = functools.partial(
+            _fused_kernel,
+            g_vec=self.g_vec,
+            obs_ll_vec=self.obs_loglik_vec,
+            Lq=self.Lq,
+            nx=self.nx,
+        )
+        p_new, lw_new, partials = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (self.rows, self.bcols), lambda b: (0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (self.rows, self.bcols), lambda b: (0, b), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (self.rows, self.bcols), lambda b: (0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (self.rows, self.bcols), lambda b: (0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, 128), lambda b: (0, b), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((self.rows, self.cols), jnp.float32),
+                jax.ShapeDtypeStruct((self.rows, self.cols), jnp.float32),
+                # (1, n_blocks·128) so the per-block (1, 128) slice satisfies
+                # the lane-tiling rule; reshaped to (n_blocks, 128) below.
+                jax.ShapeDtypeStruct((1, n_blocks * 128), jnp.float32),
+            ),
+        )(seed_arr, z_pad, particles_t, logw)
+        partials = partials.reshape(n_blocks, 128)
+        log_z, ess, mean, cov = _combine_partials(partials, self.nx)
+        return p_new, lw_new, log_z, ess, mean, cov
+
+    def run(self, key, state, zs):
+        """Filter a (T, nz) sequence; history mirrors ``ParticleFilter.run``."""
+        particles_t0, logw0 = state
+        T = zs.shape[0]
+        seeds = jax.random.randint(
+            key, (T,), minval=0, maxval=np.int32(2**31 - 1), dtype=jnp.int32
+        )
+        res_keys = jax.random.split(jax.random.fold_in(key, 1), T)
+
+        def body(carry, inp):
+            particles_t, logw = carry
+            seed, rkey, z = inp
+            particles_t, logw, log_z, ess, mean, cov = self._fused_step(
+                seed, particles_t, logw, z
+            )
+            trigger = ess < self.resample_thresh * self.Np
+
+            def do_res(op):
+                k, pt, lw = op
+                p = pt.T if self.nx > 1 else pt.reshape(self.Np, 1)
+                p_new = systematic_resample_values_blocked(
+                    k, p, logw=lw.reshape(self.Np)
+                )
+                pt_new = (
+                    p_new.T if self.nx > 1
+                    else p_new.reshape(self.rows, self.cols)
+                )
+                return pt_new, jnp.zeros_like(lw)
+
+            def no_res(op):
+                _, pt, lw = op
+                # keep unnormalized weights bounded: subtract the current
+                # log-normalizer (a no-op up to the shared constant)
+                return pt, lw - log_z
+
+            particles_t, logw = lax.cond(
+                trigger, do_res, no_res, (rkey, particles_t, logw)
+            )
+            hist = {"mean": mean, "cov": cov, "ess": ess, "resampled": trigger}
+            return (particles_t, logw), hist
+
+        (particles_t, logw), hist = lax.scan(
+            body, (particles_t0, logw0), (seeds, res_keys, zs)
+        )
+        return (particles_t, logw), hist
