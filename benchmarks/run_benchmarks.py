@@ -347,15 +347,111 @@ def bench_mat_flows():
     RESULTS["mat_flows"] = out
 
 
+
+def bench_nlngssm_flows():
+    """EDH / LEDH / KPF on the nonlinear-non-Gaussian SV model, T=1000,
+    N=500, 10 lambda steps, RK4 (reference EDH_LEDH_KPF_NLNGSSM.ipynb:
+    EDH 113 s, LEDH 460 s, both RMSE 1.1422; its sv_simul_data.npz is not
+    checked in upstream, so the data here is re-simulated — runtime
+    comparison is config-parity)."""
+    from particle_filters_tpu.models import (
+        EDHConfig,
+        EDHFlowPF,
+        KPFConfig,
+        KernelParticleFilter,
+        LEDHConfig,
+        LEDHFlowPF,
+        Model,
+        UnscentedKalmanFilter,
+        GaussianTracker,
+    )
+    from particle_filters_tpu.simulators import simulate_sv_1d
+
+    T, N = 1000, 500
+    alpha, sigma, beta = 0.95, 0.2, 1.0
+    sv = simulate_sv_1d(T, alpha, sigma, beta, seed=42)
+    zs = sv.Y[:, None]
+    key = jax.random.PRNGKey(0)
+
+    # Notebook setup: h(x) = 0 (zero-mean observation), nominal R, UKF
+    # tracker, true SV likelihood in the weights.
+    g = lambda x, u, v: alpha * x + (v if v is not None else 0.0)
+    h = lambda x: jnp.zeros(1)
+    jh = lambda x: jnp.zeros((1, 1))
+    R_nom = jnp.array([[beta**2 * float(jnp.exp(0.5 * sigma**2 / (1 - alpha**2)))]])
+    Q = jnp.array([[sigma**2]])
+    var0 = sigma**2 / (1 - alpha**2)
+
+    def log_trans(xn, xo):
+        return -0.5 * ((xn[0] - alpha * xo[0]) ** 2 / sigma**2)
+
+    def log_like(z, x):
+        var = beta**2 * jnp.exp(x[0])
+        return -0.5 * (z[0] ** 2 / var + jnp.log(var))
+
+    ns = lambda k, n, nx: sigma * jax.random.normal(k, (n, nx))
+
+    out = {"T": T, "N": N}
+    for name, cls, cfg in [
+        ("edh", EDHFlowPF,
+         EDHConfig(n_particles=N, n_lambda_steps=10, flow_integrator="rk4")),
+        ("ledh", LEDHFlowPF, LEDHConfig(n_particles=N, n_lambda_steps=10,
+                                        resample_ess_ratio=0.5)),
+    ]:
+        ukf = UnscentedKalmanFilter(
+            lambda x, u: alpha * x, h, Q, R_nom, alpha=0.5
+        )
+        tracker = GaussianTracker(ukf)
+        filt = cls(tracker, g, h, jh, log_trans, log_like, R_nom, cfg)
+        st = filt.init_from_gaussian(key, jnp.zeros(1), jnp.array([[var0]]))
+        ts = tracker.init(jnp.zeros(1), jnp.array([[var0]]))
+        run = jax.jit(
+            lambda k, s, t, f=filt: f.run(k, s, t, zs, process_noise_sampler=ns)
+        )
+        t_run, (_, _, hist) = timed(run, key, st, ts, reps=2)
+        out[f"{name}_total_s"] = t_run
+        out[f"{name}_rmse"] = float(
+            jnp.sqrt(jnp.mean((hist["mean"][:, 0] - sv.X) ** 2))
+        )
+
+    # KPF: one analyze per step on propagated particles (notebook protocol)
+    model = Model(H=h, JH=jh, R=R_nom)
+    kpf = KernelParticleFilter(model, KPFConfig(max_steps=20))
+    kpf_analyze = jax.jit(lambda X, y: kpf.analyze(X, y).particles)
+
+    def kpf_run(key):
+        def body(carry, inp):
+            X, = carry
+            k, z = inp
+            X = alpha * X + sigma * jax.random.normal(k, X.shape)
+            X = kpf_analyze(X, z)
+            return (X,), jnp.mean(X)
+
+        keys = jax.random.split(key, T)
+        X0 = jnp.sqrt(var0) * jax.random.normal(key, (N, 1))
+        _, means = jax.lax.scan(body, (X0,), (keys, zs))
+        return means
+
+    t_kpf, kpf_means = timed(jax.jit(kpf_run), key, reps=2)
+    out["kpf_total_s"] = t_kpf
+    out["kpf_rmse"] = float(jnp.sqrt(jnp.mean((kpf_means - sv.X) ** 2)))
+    out["reference"] = {
+        "edh_s": 113.0, "ledh_s": 460.0,
+        "edh_rmse": 1.1422, "ledh_rmse": 1.1422,
+        "note": "reference data file absent upstream; config parity only",
+    }
+    RESULTS["nlngssm_flows"] = out
+
 def main():
     which = sys.argv[1:] if len(sys.argv) > 1 else [
-        "sv_classic", "dpf_linear", "snlg", "mat_flows"
+        "sv_classic", "dpf_linear", "snlg", "mat_flows", "nlngssm_flows"
     ]
     benches = {
         "sv_classic": bench_sv_classic,
         "dpf_linear": bench_dpf_linear,
         "snlg": bench_snlg,
         "mat_flows": bench_mat_flows,
+        "nlngssm_flows": bench_nlngssm_flows,
     }
     for name in which:
         print(f"=== {name} ===", flush=True)
@@ -365,9 +461,16 @@ def main():
         print(f"({time.time()-t0:.0f}s incl. compile)", flush=True)
 
     out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            merged = json.load(open(out_path)).get("results", {})
+        except Exception:
+            merged = {}
+    merged.update(RESULTS)
     with open(out_path, "w") as f:
         json.dump(
-            {"backend": jax.default_backend(), "results": RESULTS},
+            {"backend": jax.default_backend(), "results": merged},
             f, indent=2, default=float,
         )
     print(f"wrote {out_path}")

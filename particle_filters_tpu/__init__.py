@@ -29,3 +29,11 @@ explicit ``jax.random`` keys.
 __version__ = "0.1.0"
 
 from particle_filters_tpu.core import structs, weights, linalg  # noqa: F401
+from particle_filters_tpu import (  # noqa: F401
+    models,
+    ops,
+    parallel,
+    resampling,
+    simulators,
+    utils,
+)

@@ -12,5 +12,11 @@ from particle_filters_tpu.parallel.sharded import (
     make_sharded_pf_run,
     shard_pf_state,
 )
+from particle_filters_tpu.parallel.dpf_sharded import make_sharded_dpf_train_step
 
-__all__ = ["make_mesh", "make_sharded_pf_run", "shard_pf_state"]
+__all__ = [
+    "make_mesh",
+    "make_sharded_pf_run",
+    "shard_pf_state",
+    "make_sharded_dpf_train_step",
+]

@@ -112,3 +112,60 @@ class TestShardedPF:
         # ESS is bounded by the GLOBAL N (1024), not the local shard (128).
         assert np.all(np.asarray(hist["ess"]) <= 1024 + 1)
         assert np.any(np.asarray(hist["ess"]) > 128)
+
+
+class TestShardedDPFTraining:
+    def test_train_step_runs_and_updates(self, key):
+        """Packaged sharded DPF training step: finite loss, params move."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from particle_filters_tpu.parallel.dpf_sharded import (
+            make_sharded_dpf_train_step,
+        )
+
+        devs = jax.devices()[:8]
+        mesh = Mesh(np.asarray(devs).reshape(2, 4), ("batch", "particles"))
+        B, N, T = 4, 64, 4
+        params = {"alpha": jnp.asarray(0.9)}
+        xs = jax.random.normal(key, (B, T, 1))
+        ys = xs + 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (B, T, 1))
+
+        def transition_fn(p, k, particles):
+            return p["alpha"] * particles + 0.25 * jax.random.normal(
+                k, particles.shape
+            )
+
+        def obs_loglik_fn(p, particles, y):
+            return -0.5 * jnp.sum((y[None, :] - particles) ** 2 / 0.09, axis=-1)
+
+        def init_fn(p, k, n_local):
+            return jax.random.normal(k, (n_local, 1))
+
+        step = make_sharded_dpf_train_step(
+            mesh,
+            n_particles=N,
+            transition_fn=transition_fn,
+            obs_loglik_fn=obs_loglik_fn,
+            init_fn=init_fn,
+            loss_fn=lambda means, truth: jnp.mean((means - truth) ** 2),
+        )
+        loss, new_params = step(params, key, ys, xs)
+        assert np.isfinite(float(loss))
+        assert float(new_params["alpha"]) != 0.9  # gradient flowed
+
+    def test_validates_particle_divisibility(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from particle_filters_tpu.parallel.dpf_sharded import (
+            make_sharded_dpf_train_step,
+        )
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8), ("batch", "particles"))
+        with pytest.raises(ValueError, match="divide"):
+            make_sharded_dpf_train_step(
+                mesh, n_particles=30,
+                transition_fn=None, obs_loglik_fn=None,
+                init_fn=None, loss_fn=None,
+            )
