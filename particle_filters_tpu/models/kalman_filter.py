@@ -16,7 +16,7 @@ fuses the whole filter into one program.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

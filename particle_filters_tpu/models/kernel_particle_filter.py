@@ -30,8 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
-from particle_filters_tpu.core.linalg import with_f32_matmuls
+from particle_filters_tpu.core.linalg import chol_with_jitter, with_f32_matmuls
 from particle_filters_tpu.core.structs import pytree_dataclass, static_field
 
 

@@ -16,7 +16,7 @@ Cholesky solves and batched slogdet on the MXU.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ of the two is tested (same RMSE/ESS behavior on the SV model).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from particle_filters_tpu.core.weights import uniform_logw
 from particle_filters_tpu.ops.resample_pallas import (
     systematic_resample_values_blocked,
 )

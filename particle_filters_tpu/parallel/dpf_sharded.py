@@ -11,13 +11,11 @@ everything into the SSM parameters.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from particle_filters_tpu.resampling.soft import gumbel_softmax
@@ -99,7 +97,7 @@ def make_sharded_dpf_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P("batch", None), P("batch", None)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -22,9 +22,8 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from particle_filters_tpu.models.particle_filter import ParticleFilter, PFState
 
@@ -70,7 +69,7 @@ def make_sharded_pf_run(pf: ParticleFilter, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), state_spec, P()),
         out_specs=(state_spec, hist_spec),
-        check_rep=False,
+        check_vma=False,
     )
     def _run(key, state0, zs):
         return pf.run(key, state0, zs)

@@ -15,8 +15,6 @@ and the iteration is a ``lax.scan`` — differentiable by unrolling.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -21,8 +21,6 @@ block-vs-dense at small N.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -17,7 +17,7 @@ cell unroll is a ``lax.scan`` over the ancestor axis.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

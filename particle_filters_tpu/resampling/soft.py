@@ -12,12 +12,9 @@ vmaps over any batch structure.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from particle_filters_tpu.core.weights import log_normalize, uniform_logw
 
 
 def sample_gumbel(key: jax.Array, shape, dtype=jnp.float32, eps: float = 1e-20):

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from particle_filters_tpu.core.structs import pytree_dataclass, static_field
+from particle_filters_tpu.core.structs import pytree_dataclass
 
 
 @dataclass(frozen=True)

@@ -15,14 +15,14 @@ step function (the reference uses a Python loop,
 from __future__ import annotations
 
 import os
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from particle_filters_tpu.core.structs import pytree_dataclass, static_field
+from particle_filters_tpu.core.structs import pytree_dataclass
 from particle_filters_tpu.core.linalg import chol_with_jitter
 
 
