@@ -70,3 +70,15 @@ print(f"{'filter':8s} {'RMSE':>8s} {'ms/step':>9s}   (reference RMSE / ms-step)"
 print(f"{'EKF':8s} {float(rmse(m_e[:,0], sv.X)):8.3f} {t_e/T*1e3:9.4f}   (9.735 / 0.123)")
 print(f"{'UKF':8s} {float(rmse(m_u[:,0], sv.X)):8.3f} {t_u/T*1e3:9.4f}   (7.705 / 0.327)")
 print(f"{'SIR PF':8s} {float(rmse(hist['mean'][:,0], sv.X)):8.3f} {t_p/T*1e3:9.4f}   (3.450 / 10.24)")
+
+# --- log-variance observation variant (reference notebook cell 23:
+# RMSE ≈ 1.254 with ≈95% coverage for all filters on its data) -----------
+from scipy.stats import chi2
+
+lo, hi = chi2.ppf(0.025, df=1), chi2.ppf(0.975, df=1)
+kf_like = ExtendedKalmanFilter(g, h, Q, R_log)
+_, m_lv, P_lv = kf_like.run(make_ekf_state(jnp.zeros(1), jnp.eye(1)), y_log)
+nees_lv = (m_lv[:, 0] - sv.X) ** 2 / P_lv[:, 0, 0]
+cover = float(jnp.mean(((nees_lv >= lo) & (nees_lv <= hi)).astype(jnp.float32)))
+print(f"\nlog-variance-obs variant: RMSE {float(rmse(m_lv[:,0], sv.X)):.3f}, "
+      f"95% coverage {cover*100:.1f}%  (reference: ≈1.254 / ≈95%)")

@@ -265,7 +265,13 @@ class ParticleFilter:
             particles = self.predict(k_pred, state, u if u.shape[-1] else None)
             z = jnp.asarray(z)
             loglik = jax.vmap(lambda x: self._obs_loglik(x, z))(particles)
-            logw, _ = log_normalize(state.log_weights + loglik, self.axis_name)
+            # log_z = logsumexp of the reweighted normalized weights — the
+            # incremental marginal likelihood log p(z_t | z_{1:t-1}) up to
+            # the constant the Gaussian path drops (the KF path returns the
+            # exact analog, reference models/kalman_filter.py:229-234).
+            logw, log_z = log_normalize(
+                state.log_weights + loglik, self.axis_name
+            )
             particles, logw, ess, trig = self._maybe_resample(k_upd, particles, logw)
             mean, cov = weighted_mean_cov(particles, logw, self.axis_name)
             new = PFState(
@@ -276,7 +282,13 @@ class ParticleFilter:
                 cov=cov,
                 t=state.t + 1,
             )
-            return new, {"mean": mean, "cov": cov, "ess": ess, "resampled": trig}
+            return new, {
+                "mean": mean,
+                "cov": cov,
+                "ess": ess,
+                "resampled": trig,
+                "log_evidence": log_z,
+            }
 
         final, hist = lax.scan(body, state0, (keys, zs, us_seq))
         return final, hist

@@ -62,7 +62,13 @@ def make_sharded_pf_run(pf: ParticleFilter, mesh: Mesh):
         cov=P(),
         t=P(),
     )
-    hist_spec = {"mean": P(), "cov": P(), "ess": P(), "resampled": P()}
+    hist_spec = {
+        "mean": P(),
+        "cov": P(),
+        "ess": P(),
+        "resampled": P(),
+        "log_evidence": P(),
+    }
 
     @partial(
         shard_map,

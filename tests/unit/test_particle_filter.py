@@ -170,3 +170,29 @@ class TestPFOnSV:
             jnp.sqrt(jnp.mean((hist["mean"][100:, 0] - sv_data.X[100:]) ** 2))
         )
         assert late_rmse < 1.5
+
+
+class TestLogEvidence:
+    def test_pf_evidence_tracks_kf_loglik(self, key, small_system, lgssm_data):
+        """On a linear-Gaussian SSM, Σ_t log p̂(z_t|z_{1:t−1}) from the PF
+        converges to the exact KF log-likelihood (up to the Gaussian constant
+        the PF's weight update drops: T·ny/2·log 2π + T/2·log|R| here)."""
+        from particle_filters_tpu.models import kalman_filter_general
+
+        s = small_system
+        T = 100
+        Y = lgssm_data.Y[:T]
+        kf = kalman_filter_general(
+            Y, s["A"], s["C"], np.eye(2, dtype=np.float32), s["Q"], s["R"],
+            x0=np.zeros(2, np.float32), P0=s["Sigma"],
+        )
+        A = jnp.asarray(s["A"])
+        pf = ParticleFilter(
+            lambda x, u: A @ x, lambda x: x, s["Q"], s["R"], Np=4000
+        )
+        st = pf.initialize(key, np.zeros(2, np.float32), s["Sigma"])
+        _, hist = pf.run(jax.random.fold_in(key, 1), st, Y)
+        pf_ll = float(jnp.sum(hist["log_evidence"]))
+        # dropped constant: −T/2·(ny·log2π + log|R|)
+        const = -T / 2 * (2 * np.log(2 * np.pi) + np.linalg.slogdet(np.asarray(s["R"], np.float64))[1])
+        assert abs((pf_ll + const) - float(kf.loglik)) < 0.03 * abs(float(kf.loglik)) + 3.0

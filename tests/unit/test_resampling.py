@@ -298,7 +298,7 @@ class TestOTBlockwise:
             sinkhorn_ot_resample_blockwise,
         )
 
-        for n, d, block in [(100, 2, 32), (500, 3, 128), (130, 1, 64)]:
+        for n, d, block in [(100, 2, 32), (130, 1, 64)]:
             p = jax.random.normal(jax.random.fold_in(key, n), (n, d))
             w = jax.nn.softmax(jax.random.normal(key, (n,)) * 1.5)
             d_p, d_w = sinkhorn_ot_resample(p, w, epsilon=0.2, n_iters=25)

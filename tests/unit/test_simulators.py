@@ -278,13 +278,13 @@ class TestSkewT:
             SkewTGridConfig(d=9),
             SkewTDynConfig(nu=2.5, seed=0, clip_x=None, gamma_scale=0.0),
             SkewTMeasConfig(),
-            SkewTSimConfig(T=200, n_trials=20),
+            SkewTSimConfig(T=200, n_trials=10),
         )
         light = simulate_skewt_many(
             SkewTGridConfig(d=9),
             SkewTDynConfig(nu=200.0, seed=0, clip_x=None, gamma_scale=0.0),
             SkewTMeasConfig(),
-            SkewTSimConfig(T=200, n_trials=20),
+            SkewTSimConfig(T=200, n_trials=10),
         )
 
         def kurt(x):
