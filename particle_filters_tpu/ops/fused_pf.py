@@ -71,7 +71,9 @@ def _fused_kernel(
     nx: int,
 ):
     b = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0, 0] + b)
+    # Two-word seed (step_seed, block_id): additive seed+b would let block
+    # streams of different steps collide (seed s block 5 == seed s+5 block 0).
+    pltpu.prng_seed(seed_ref[0, 0], b)
 
     shape = p_ref[:, :].shape  # (rows, B) — rows = 8 for nx=1, else nx
     u1 = _bits_to_unit_open(
