@@ -9,5 +9,6 @@ v5e; the blocked kernel runs the same op in ~0.2 ms).
 from particle_filters_tpu.ops.resample_pallas import (
     systematic_resample_values_blocked,
 )
+from particle_filters_tpu.ops.fused_pf import FusedSIRFilter
 
-__all__ = ["systematic_resample_values_blocked"]
+__all__ = ["systematic_resample_values_blocked", "FusedSIRFilter"]
