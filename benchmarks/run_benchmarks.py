@@ -186,7 +186,7 @@ def bench_dpf_linear():
 
 def bench_snlg():
     """KF / UKF / EDH-200 on SNLG d=64, T=50 (reference
-    PF_PF_results_reproduction_snlg.ipynb cell 11; 5 trials here vs 100)."""
+    PF_PF_results_reproduction_snlg.ipynb cell 11; 25 trials here vs 100)."""
     from particle_filters_tpu.core.linalg import mvn_logpdf_chol
     from particle_filters_tpu.models import (
         EDHConfig,
@@ -199,7 +199,7 @@ def bench_snlg():
     )
     from particle_filters_tpu.simulators import SNLGConfig, simulate_snlg_dataset
 
-    D, T, TRIALS, SZ, AL = 64, 50, 5, 2.0, 0.9
+    D, T, TRIALS, SZ, AL = 64, 50, 25, 2.0, 0.9
     ds = simulate_snlg_dataset(
         SNLGConfig(d=D, T=T, trials=TRIALS, sigmas=(SZ,), seed=123)
     )
