@@ -307,6 +307,9 @@ class DPF_OT:
                 "ot_distance": diag["ot_distance"],
                 "transport_plan_sparsity": diag["transport_plan_sparsity"],
                 "final_delta": diag["final_delta"],
+                # aggregates to converged_mean == the reference's
+                # converged_rate (DPF_OT_resampling.py:206-231)
+                "converged": diag["converged"].astype(jnp.float32),
                 "f_std": diag["dual_variables"]["f_std"],
                 "g_std": diag["dual_variables"]["g_std"],
                 "ess_before": 1.0 / jnp.sum(w * w),

@@ -60,7 +60,7 @@ def _fused_kernel(
     seed_ref,  # (1, 1) int32 SMEM: per-step seed
     z_ref,  # (1, 128) f32 VMEM: observation (padded)
     p_ref,  # (nx, B) f32 VMEM: particle block (transposed layout)
-    lw_ref,  # (1, B) f32 VMEM: unnormalized log-weights
+    lw_ref,  # f32 VMEM unnormalized log-weights: (8, B/8) for nx=1, (1, B) else
     p_out,  # (nx, B)
     lw_out,  # (1, B)
     part_out,  # (1, 128) per-block weight partials
@@ -91,16 +91,22 @@ def _fused_kernel(
         # (8, B/8) elementwise layout: full VPU sublane utilization
         noise = Lq[0, 0] * eps
     else:
-        noise = jnp.dot(
-            jnp.asarray(Lq, jnp.float32), eps,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # Unrolled lower-triangular Lq @ eps with PYTHON scalar coefficients:
+        # Pallas kernels may not capture array constants, and nx <= 10 keeps
+        # this at <= 55 vector multiply-adds on the VPU.
+        rows = [
+            sum(float(Lq[i, j]) * eps[j, :] for j in range(i + 1))
+            for i in range(nx)
+        ]
+        noise = jnp.stack(rows)
     x_new = x_new + noise
     p_out[:, :] = x_new
 
     z = z_ref[0, :]
-    loglik = obs_ll_vec(x_new, z)  # same shape as x_new rowspace
+    # One loglik per particle: for nx=1 the model acts elementwise on the
+    # (8, B/8) layout; for nx>1 it maps the (nx, B) block to (B,) / (1, B),
+    # matching the single-row log-weight carry.
+    loglik = obs_ll_vec(x_new, z)
     lw = lw_ref[:, :] + loglik.reshape(lw_ref.shape)
     lw_out[:, :] = lw
 
@@ -113,6 +119,7 @@ def _fused_kernel(
         ex = jnp.sum(e * x_new).reshape(1)
         exx = jnp.sum(e * x_new * x_new).reshape(1)
     else:
+        # e is (1, B): one weight per particle column, broadcast over rows
         ex = jnp.sum(e * x_new, axis=1)  # (nx,)
         # Σ e·x⊗x as (nx, B)·(B, nx) — Mosaic-friendly contraction
         exx = jax.lax.dot_general(
@@ -162,7 +169,9 @@ class FusedSIRFilter:
     def __init__(
         self,
         g_vec: Callable,  # (nx, B) -> (nx, B)
-        obs_loglik_vec: Callable,  # ((nx, B), z (128,)) -> (1, B) or (B,)
+        # per-particle loglik: nx=1 → elementwise on the (8, B/8) layout;
+        # nx>1 → ((nx, B), z (128,)) -> (B,) or (1, B)
+        obs_loglik_vec: Callable,
         Q,
         *,
         Np: int,
@@ -185,10 +194,14 @@ class FusedSIRFilter:
         # Internal layout: nx=1 states are stored (8, Np/8) so elementwise
         # kernel math uses all 8 VPU sublanes (a (1, B) block runs at 1/8
         # utilization). Particles are exchangeable, so the row-major
-        # bijection to (Np,) is immaterial.
+        # bijection to (Np,) is immaterial. Log-weights always carry ONE
+        # scalar per particle: (8, Np/8) for nx=1, a (1, Np) row otherwise.
         self.rows = 8 if self.nx == 1 else self.nx
         self.cols = self.Np // 8 if self.nx == 1 else self.Np
         self.bcols = self.block // 8 if self.nx == 1 else self.block
+        self.wrows = 8 if self.nx == 1 else 1
+        self.wcols = self.Np // 8 if self.nx == 1 else self.Np
+        self.wbcols = self.block // 8 if self.nx == 1 else self.block
         if self.nx == 1 and self.Np % 8 != 0:
             raise ValueError("Np must be a multiple of 8 for nx=1.")
         self.resample_thresh = float(resample_thresh)
@@ -201,7 +214,7 @@ class FusedSIRFilter:
         )
         eps = jax.random.normal(key, (self.nx, self.Np), jnp.float32)
         particles_t = (mean[:, None] + L @ eps).reshape(self.rows, self.cols)
-        logw = jnp.zeros((self.rows, self.cols), jnp.float32)  # unnormalized
+        logw = jnp.zeros((self.wrows, self.wcols), jnp.float32)  # unnormalized
         return particles_t, logw
 
     def _fused_step(self, seed, particles_t, logw, z):
@@ -227,7 +240,7 @@ class FusedSIRFilter:
                     (self.rows, self.bcols), lambda b: (0, b), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (self.rows, self.bcols), lambda b: (0, b), memory_space=pltpu.VMEM
+                    (self.wrows, self.wbcols), lambda b: (0, b), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=(
@@ -235,13 +248,13 @@ class FusedSIRFilter:
                     (self.rows, self.bcols), lambda b: (0, b), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (self.rows, self.bcols), lambda b: (0, b), memory_space=pltpu.VMEM
+                    (self.wrows, self.wbcols), lambda b: (0, b), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((1, 128), lambda b: (0, b), memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((self.rows, self.cols), jnp.float32),
-                jax.ShapeDtypeStruct((self.rows, self.cols), jnp.float32),
+                jax.ShapeDtypeStruct((self.wrows, self.wcols), jnp.float32),
                 # (1, n_blocks·128) so the per-block (1, 128) slice satisfies
                 # the lane-tiling rule; reshaped to (n_blocks, 128) below.
                 jax.ShapeDtypeStruct((1, n_blocks * 128), jnp.float32),

@@ -21,6 +21,39 @@ from jax.sharding import Mesh, PartitionSpec as P
 from particle_filters_tpu.resampling.soft import gumbel_softmax
 
 
+def sharded_soft_resample(
+    key,
+    particles,
+    logw,
+    *,
+    n_particles: int,
+    soft_alpha: float = 0.5,
+    temperature: float = 0.5,
+    axis_name: str = "particles",
+):
+    """Soft (Gumbel-softmax) resampling over the GLOBAL ancestor set.
+
+    Call inside ``shard_map``: ``particles``/``logw`` are the local
+    ``(n_local, d)``/``(n_local,)`` shards with globally-normalized log
+    weights. Each shard computes its own ``n_local`` rows of the
+    conceptual global (N, N) assignment, so the Gumbel key is folded with
+    the shard index — every shard must draw a DISTINCT slice of the global
+    noise or the resampled cloud degenerates to ``n_local`` distinct
+    particles replicated across shards.
+    """
+    n_local = particles.shape[0]
+    p_all = jax.lax.all_gather(particles, axis_name, axis=0, tiled=True)
+    lw_all = jax.lax.all_gather(logw, axis_name, axis=0, tiled=True)
+    probs = (1.0 - soft_alpha) * jnp.exp(lw_all) + soft_alpha / n_particles
+    log_probs = jnp.log(probs + 1e-20)
+    tiled = jnp.broadcast_to(log_probs[None, :], (n_local, n_particles))
+    key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    assign = gumbel_softmax(key, tiled, temperature)
+    new_particles = assign @ p_all
+    new_logw = jnp.full((n_local,), -jnp.log(float(n_particles)))
+    return new_particles, new_logw
+
+
 def make_sharded_dpf_train_step(
     mesh: Mesh,
     *,
@@ -63,17 +96,16 @@ def make_sharded_dpf_train_step(
             )
             s = jax.lax.psum(jnp.sum(jnp.exp(logw - m)), "particles")
             logw = logw - (m + jnp.log(s))
-            # soft resampling over the GLOBAL ancestor set
-            p_all = jax.lax.all_gather(particles, "particles", axis=0, tiled=True)
-            lw_all = jax.lax.all_gather(logw, "particles", axis=0, tiled=True)
-            probs = (1.0 - soft_alpha) * jnp.exp(lw_all) + soft_alpha / n_particles
-            log_probs = jnp.log(probs + 1e-20)
-            tiled = jnp.broadcast_to(
-                log_probs[None, :], (n_local, n_particles)
+            # soft resampling over the GLOBAL ancestor set (shard-distinct
+            # Gumbel rows — see sharded_soft_resample)
+            particles, logw = sharded_soft_resample(
+                k2,
+                particles,
+                logw,
+                n_particles=n_particles,
+                soft_alpha=soft_alpha,
+                temperature=gumbel_temperature,
             )
-            assign = gumbel_softmax(k2, tiled, gumbel_temperature)
-            particles = assign @ p_all
-            logw = jnp.full((n_local,), -jnp.log(float(n_particles)))
             mean = jax.lax.psum(
                 jnp.sum(jnp.exp(logw)[:, None] * particles, axis=0), "particles"
             )

@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 
 def save_checkpoint(path: str, state: Any, step: Optional[int] = None) -> str:
     """Save a pytree ``state`` to ``path`` (optionally under a step subdir).
@@ -40,10 +38,7 @@ def restore_checkpoint(path: str, template: Any = None, step: Optional[int] = No
         path = os.path.join(path, f"step_{step:08d}")
     ckpt = ocp.PyTreeCheckpointer()
     if template is not None:
-        flat, treedef = jax.tree_util.tree_flatten(template)
-        restored_flat = ckpt.restore(path, item=jax.tree_util.tree_unflatten(treedef, flat))
-        # orbax returns the same structure when given an item template
-        return restored_flat
+        return ckpt.restore(path, args=ocp.args.PyTreeRestore(item=template))
     return ckpt.restore(path)
 
 

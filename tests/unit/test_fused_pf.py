@@ -113,6 +113,79 @@ class TestFusedFilterInterpret:
         assert bool(hist["resampled"][0]) and bool(hist["resampled"][1])
         np.testing.assert_allclose(np.asarray(lw), 0.0, atol=1e-6)
 
+    def test_nx2_matches_generic_pf(self, key):
+        """nx=2 path (single-row log-weight carry): tracks a 2-D LGSSM like
+        the generic ParticleFilter — regression for the multi-dim layout."""
+        A = np.array([[0.9, 0.1], [0.0, 0.8]], np.float32)
+        Q = np.diag([0.05, 0.02]).astype(np.float32)
+        r = 0.1
+        T, Np = 30, 2048
+
+        # simulate a short 2-D LGSSM, observe the first coordinate
+        rng = np.random.default_rng(0)
+        xs = np.zeros((T, 2), np.float32)
+        x = np.zeros(2, np.float32)
+        Lq = np.linalg.cholesky(Q)
+        for t in range(T):
+            x = A @ x + Lq @ rng.standard_normal(2).astype(np.float32)
+            xs[t] = x
+        zs = xs[:, :1] + np.sqrt(r) * rng.standard_normal((T, 1)).astype(
+            np.float32
+        )
+
+        # Pallas kernels cannot capture array constants, so g_vec spells the
+        # 2x2 transition out with Python scalars.
+        f = FusedSIRFilter(
+            lambda x: jnp.stack([0.9 * x[0, :] + 0.1 * x[1, :], 0.8 * x[1, :]]),
+            lambda x, z: -0.5 * (z[0] - x[0, :]) ** 2 / r,
+            Q=Q,
+            Np=Np,
+        )
+        st = f.initialize(key, np.zeros(2), 0.3 * np.eye(2))
+        assert st[1].shape == (1, Np)  # one log-weight per particle
+        with pltpu.force_tpu_interpret_mode():
+            (pt, lw), hist = f.run(jax.random.fold_in(key, 1), st, zs)
+        assert hist["mean"].shape == (T, 2)
+        assert hist["cov"].shape == (T, 2, 2)
+        rmse_fused = float(
+            jnp.sqrt(jnp.mean((hist["mean"] - xs) ** 2))
+        )
+
+        pf = ParticleFilter(
+            lambda x, u: jnp.asarray(A) @ x, None, Q=Q, R=None, Np=Np,
+            obs_loglik=lambda x, z: -0.5 * (z[0] - x[0]) ** 2 / r,
+        )
+        st_g = pf.initialize(
+            key, np.zeros(2, np.float32), 0.3 * np.eye(2, dtype=np.float32)
+        )
+        _, hist_g = pf.run(jax.random.fold_in(key, 1), st_g, zs)
+        rmse_gen = float(jnp.sqrt(jnp.mean((hist_g["mean"] - xs) ** 2)))
+
+        assert np.all(np.isfinite(np.asarray(hist["mean"])))
+        assert rmse_fused < 0.5
+        assert abs(rmse_fused - rmse_gen) < 0.3 * max(rmse_fused, rmse_gen) + 0.05
+
+    def test_nx2_resample_weight_alignment(self, key):
+        """After an nx>1 resample, weights reset and moments stay sane."""
+        Q = np.diag([0.05, 0.05]).astype(np.float32)
+        f = FusedSIRFilter(
+            lambda x: x,
+            lambda x, z: -0.5 * ((z[0] - x[0, :]) ** 2 + (z[1] - x[1, :]) ** 2) / 0.01,
+            Q=Q,
+            Np=1024,
+            block=512,
+            resample_thresh=2.0,  # always resample
+        )
+        st = f.initialize(key, np.zeros(2), np.eye(2))
+        zs = jnp.full((3, 2), 1.5)
+        with pltpu.force_tpu_interpret_mode():
+            (pt, lw), hist = f.run(jax.random.fold_in(key, 1), st, zs)
+        assert np.all(np.asarray(hist["resampled"]))
+        np.testing.assert_allclose(np.asarray(lw), 0.0, atol=1e-6)
+        # posterior mean pulled toward the (1.5, 1.5) observations
+        assert float(hist["mean"][-1, 0]) > 0.5
+        assert float(hist["mean"][-1, 1]) > 0.5
+
     def test_validation(self):
         with pytest.raises(ValueError, match="multiple of the block"):
             _make_fused(1000, block=512)

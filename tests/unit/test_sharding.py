@@ -154,6 +154,48 @@ class TestShardedDPFTraining:
         assert np.isfinite(float(loss))
         assert float(new_params["alpha"]) != 0.9  # gradient flowed
 
+    def test_soft_resample_differs_across_shards(self, key):
+        """Regression: each shard must draw DISTINCT Gumbel noise (its own
+        rows of the global (N, N) assignment). With a shared key every
+        shard resamples identical ancestors and the global cloud holds
+        only n_local distinct particles."""
+        from functools import partial
+
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from particle_filters_tpu.parallel.dpf_sharded import (
+            sharded_soft_resample,
+        )
+
+        devs = jax.devices()[:8]
+        mesh = Mesh(np.asarray(devs).reshape(1, 8), ("batch", "particles"))
+        N, d = 64, 2
+        particles = jax.random.normal(key, (N, d))
+        logw = jnp.full((N,), -jnp.log(float(N)))
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P("particles", None), P("particles")),
+            out_specs=(P("particles", None), P("particles")),
+            check_vma=False,
+        )
+        def resample(k, p, lw):
+            return sharded_soft_resample(
+                k, p, lw, n_particles=N, temperature=0.1
+            )
+
+        new_p, _ = resample(jax.random.fold_in(key, 7), particles, logw)
+        blocks = np.asarray(new_p).reshape(8, N // 8, d)
+        for i in range(1, 8):
+            assert not np.allclose(blocks[0], blocks[i]), (
+                f"shard {i} resampled identical particles to shard 0 "
+                "(Gumbel key not folded with the shard index)"
+            )
+        # low temperature => rows are near-one-hot over true ancestors
+        assert np.all(np.isfinite(blocks))
+
     def test_validates_particle_divisibility(self):
         import numpy as np
         from jax.sharding import Mesh
