@@ -17,7 +17,11 @@ from particle_filters_tpu.models import (
     EDHFlowPF,
     ExtendedKalmanFilter,
     GaussianTracker,
+    LEDHConfig,
+    LEDHFlowPF,
+    UnscentedKalmanFilter,
     make_ekf_state,
+    make_ukf_state,
 )
 from particle_filters_tpu.simulators import (
     MATDynamicsConfig,
@@ -130,3 +134,136 @@ class TestEDHOnMAT:
             np.asarray(x_prior).reshape(C, 4)[:, :2], np.asarray(mat.P[-1])
         )
         assert o_est < max(o_prior, 25.0) + 1e-6
+
+
+class TestUKFOnMAT:
+    def test_runs_and_omat_reasonable(self, mat, key):
+        """UKF on the joint 16-dim CV state (reference MAT suite runs UKF
+        alongside EKF; BASELINE UKF avg OMAT ≈ 29)."""
+        F, Q, h, sensors = _joint_models(mat)
+        R = 0.01 * jnp.eye(sensors.shape[0])
+        ukf = UnscentedKalmanFilter(
+            lambda x, u: F @ x, h, Q, R, alpha=0.5, jitter=1e-5
+        )
+        x0 = article_initial_states(C).reshape(-1) + 0.5 * jax.random.normal(
+            key, (NX,)
+        )
+        st = make_ukf_state(x0, 1.0 * jnp.eye(NX))
+        noise = 0.1 * jax.random.normal(key, mat.Z.shape)
+        _, means, covs = jax.jit(lambda s, z: ukf.run(s, z))(
+            st, mat.Z + noise
+        )
+        assert np.all(np.isfinite(np.asarray(means)))
+        assert np.all(np.isfinite(np.asarray(covs)))
+        est_pos = np.asarray(means[-1]).reshape(C, 4)[:, :2]
+        o = omat(est_pos, np.asarray(mat.P[-1]))
+        assert o < 35.0  # reference UKF avg OMAT ≈ 29
+
+
+class TestLEDHOnMAT:
+    def test_ledh_runs_on_joint_state(self, mat, key):
+        """LEDH on the joint 16-dim MAT state: per-particle linearization
+        with 25-dim observations stays finite and tracks no worse than the
+        dead-reckoned prior (reference LEDH avg OMAT ≈ 10.7)."""
+        F, Q, h, sensors = _joint_models(mat)
+        nz = sensors.shape[0]
+        R = 0.01 * jnp.eye(nz)
+        LR = 0.1 * jnp.eye(nz)
+        LQ = jnp.linalg.cholesky(Q + 1e-8 * jnp.eye(NX))
+        jac_h = jax.jacfwd(h)
+
+        g = lambda x, u, v: F @ x + v
+        lt = lambda xn, xo: mvn_logpdf_chol(xn, F @ xo, LQ)
+        ll = lambda z, x: mvn_logpdf_chol(z, h(x), LR)
+        ns = lambda k, n, nx: jax.random.normal(k, (n, nx)) @ LQ.T
+
+        ekf = ExtendedKalmanFilter(lambda x, u: F @ x, h, Q, R, jitter=1e-5)
+        tracker = GaussianTracker(ekf)
+        ledh = LEDHFlowPF(
+            tracker, g, h, jac_h, lt, ll, R,
+            LEDHConfig(n_particles=64, n_lambda_steps=4,
+                       resample_ess_ratio=0.5),
+        )
+        x0 = article_initial_states(C).reshape(-1) + 0.5 * jax.random.normal(
+            key, (NX,)
+        )
+        st = ledh.init_from_gaussian(key, x0, 1.0 * jnp.eye(NX))
+        ts = tracker.init(x0, 1.0 * jnp.eye(NX))
+        noise = 0.1 * jax.random.normal(key, mat.Z[:10].shape)
+        _, _, hist = jax.jit(
+            lambda k, s, t: ledh.run(
+                k, s, t, mat.Z[:10] + noise, process_noise_sampler=ns
+            )
+        )(jax.random.fold_in(key, 1), st, ts)
+        means = np.asarray(hist["mean"])
+        assert np.all(np.isfinite(means))
+        est_pos = means[-1].reshape(C, 4)[:, :2]
+        o_est = omat(est_pos, np.asarray(mat.P[9]))
+        x_prior = jnp.asarray(x0)
+        for _ in range(10):
+            x_prior = F @ x_prior
+        o_prior = omat(
+            np.asarray(x_prior).reshape(C, 4)[:, :2], np.asarray(mat.P[9])
+        )
+        assert o_est < max(o_prior, 25.0) + 1e-6
+
+
+class TestTrackerNoAliasing:
+    def test_shared_tracker_object_cannot_alias_state(self, mat, key):
+        """Regression for the reference's aliasing bug
+        (``test_filters_mat_simulator.py:415-423``): there, EDH and LEDH
+        sharing one stateful EKFTracker silently corrupt each other's
+        companion state. Here tracker state is an explicit pytree, so two
+        flow filters built on the SAME GaussianTracker object interleaved
+        step-by-step produce bitwise the same trajectory as a solo run."""
+        F, Q, h, sensors = _joint_models(mat)
+        nz = sensors.shape[0]
+        R = 0.01 * jnp.eye(nz)
+        LR = 0.1 * jnp.eye(nz)
+        LQ = jnp.linalg.cholesky(Q + 1e-8 * jnp.eye(NX))
+        jac_h = jax.jacfwd(h)
+        g = lambda x, u, v: F @ x + v
+        lt = lambda xn, xo: mvn_logpdf_chol(xn, F @ xo, LQ)
+        ll = lambda z, x: mvn_logpdf_chol(z, h(x), LR)
+        ns = lambda k, n, nx: jax.random.normal(k, (n, nx)) @ LQ.T
+
+        ekf = ExtendedKalmanFilter(lambda x, u: F @ x, h, Q, R, jitter=1e-5)
+        tracker = GaussianTracker(ekf)  # ONE object, shared by both filters
+        cfg = EDHConfig(n_particles=64, flow_integrator="euler")
+        edh_a = EDHFlowPF(tracker, g, h, jac_h, lt, ll, R, cfg)
+        edh_b = EDHFlowPF(tracker, g, h, jac_h, lt, ll, R, cfg)
+
+        x0 = article_initial_states(C).reshape(-1)
+        zs = mat.Z[:5] + 0.1 * jax.random.normal(key, mat.Z[:5].shape)
+
+        def run_steps(filt, tag):
+            st = filt.init_from_gaussian(key, x0, jnp.eye(NX))
+            ts = tracker.init(x0, jnp.eye(NX))
+            means = []
+            for t in range(zs.shape[0]):
+                k = jax.random.fold_in(key, 1000 * tag + t)
+                st, ts = filt.step(k, st, ts, zs[t],
+                                   process_noise_sampler=ns)
+                means.append(np.asarray(st.mean))
+            return np.stack(means)
+
+        solo = run_steps(edh_a, tag=1)
+
+        # interleaved: same steps for edh_a, with edh_b stepping in between
+        st_a = edh_a.init_from_gaussian(key, x0, jnp.eye(NX))
+        ts_a = tracker.init(x0, jnp.eye(NX))
+        st_b = edh_b.init_from_gaussian(jax.random.fold_in(key, 5), x0,
+                                        jnp.eye(NX))
+        ts_b = tracker.init(x0, jnp.eye(NX))
+        means_a = []
+        for t in range(zs.shape[0]):
+            k_a = jax.random.fold_in(key, 1000 * 1 + t)
+            k_b = jax.random.fold_in(key, 1000 * 2 + t)
+            st_a, ts_a = edh_a.step(k_a, st_a, ts_a, zs[t],
+                                    process_noise_sampler=ns)
+            st_b, ts_b = edh_b.step(k_b, st_b, ts_b, zs[t],
+                                    process_noise_sampler=ns)
+            means_a.append(np.asarray(st_a.mean))
+        interleaved = np.stack(means_a)
+
+        np.testing.assert_array_equal(solo, interleaved)
