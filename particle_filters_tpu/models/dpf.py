@@ -264,7 +264,16 @@ class DPF_OT:
         epsilon: float = 0.1,
         n_sinkhorn_iters: int = 50,
         min_val: float = 1e-12,
+        damping: float = 1.0,
     ) -> None:
+        """``epsilon``/``n_sinkhorn_iters`` defaults mirror the reference
+        constructor. ``damping`` < 1 under-relaxes the dual updates (the
+        reference hard-codes 0.5); the tuning sweep
+        (``examples/08_dpf_ot_tuning.py``, reproducing
+        ``DPF_OT_parameter_tuning.ipynb``) found undamped updates strictly
+        better at every epsilon on the LGSSM comparison config, with the
+        optimum at epsilon=0.01, damping=1.0, 50 iterations (RMSE 0.334 —
+        matching the reference's table)."""
         self.n_particles = int(n_particles)
         self.state_dim = int(state_dim)
         self.transition_fn = transition_fn
@@ -272,6 +281,7 @@ class DPF_OT:
         self.epsilon = float(epsilon)
         self.n_sinkhorn_iters = int(n_sinkhorn_iters)
         self.min_val = float(min_val)
+        self.damping = float(damping)
 
     def init_particles(self, key, mean0, cov0_chol, dtype=jnp.float32):
         """(reference ``init_particles`` :374-398)."""
@@ -299,6 +309,7 @@ class DPF_OT:
             epsilon=self.epsilon,
             n_iters=self.n_sinkhorn_iters,
             min_val=self.min_val,
+            damping=self.damping,
             return_diagnostics=return_diagnostics,
         )
         if return_diagnostics:
@@ -376,6 +387,7 @@ class DifferentiableParticleFilterRNN:
         use_weight_features: bool = True,
         use_particle_features: bool = True,
         use_baseline_resampling: bool = False,
+        use_weight_prior: bool = False,
     ) -> None:
         self.n_particles = int(n_particles)
         self.state_dim = int(state_dim)
@@ -391,6 +403,7 @@ class DifferentiableParticleFilterRNN:
             use_weight_features=use_weight_features,
             use_particle_features=use_particle_features,
             use_baseline_resampling=use_baseline_resampling,
+            use_weight_prior=use_weight_prior,
         )
 
     def init_resampler(self, key):

@@ -103,8 +103,17 @@ class RNNResampler:
         use_weight_features: bool = True,
         use_particle_features: bool = True,
         use_baseline_resampling: bool = False,
+        use_weight_prior: bool = False,
         output_init_scale: float = 0.001,
     ) -> None:
+        """``use_weight_prior`` adds the normalized log-weights as a residual
+        prior to the learned logits: assignment = softmax((head(h) +
+        log w)/T). With the near-zero head init the fresh resampler then
+        REPRODUCES the weight-proportional baseline (instead of the
+        reference's near-uniform start, :127-162) and training learns
+        corrections on top — this is what lets the trained resampler beat
+        baseline mode (examples/09_train_rnn_resampler.py). Default off for
+        reference-architecture parity."""
         if rnn_type not in ("gru", "lstm"):
             raise ValueError(f"Unknown RNN type: {rnn_type}. Use 'lstm' or 'gru'")
         self.n_particles = int(n_particles)
@@ -116,6 +125,7 @@ class RNNResampler:
         self.use_weight_features = bool(use_weight_features)
         self.use_particle_features = bool(use_particle_features)
         self.use_baseline_resampling = bool(use_baseline_resampling)
+        self.use_weight_prior = bool(use_weight_prior)
         self.output_init_scale = float(output_init_scale)
 
         input_dim = 0
@@ -217,6 +227,10 @@ class RNNResampler:
                 return h_final @ params["out_kernel"] + params["out_bias"]
 
             logits = jax.vmap(logits_for)(jnp.arange(n))  # (N, N)
+            if self.use_weight_prior:
+                logw_n, _ = log_normalize_lastaxis(log_weights)
+                prior = jnp.log(jnp.exp(logw_n) + 1e-10)
+                logits = logits + prior[None, :]
             assignment = jax.nn.softmax(logits / self.temperature, axis=-1)
 
         new_particles = assignment @ particles
