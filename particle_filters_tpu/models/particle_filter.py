@@ -84,7 +84,16 @@ class ParticleFilter:
         regularize_after_resample: bool = False,
         obs_loglik: Optional[Callable] = None,
         axis_name: Optional[str] = None,
+        distributed_resample: str = "all_gather",
+        neighbor_radius: int = 2,
     ) -> None:
+        """``distributed_resample`` selects the cross-shard ancestry
+        exchange when ``axis_name`` is set: ``"all_gather"`` replicates the
+        full cloud per device during the (rare) resample step — exact,
+        O(N) memory; ``"neighbor"`` pools only ±``neighbor_radius``
+        neighbor shards via ppermute — O((2r+1)·N/S) memory, exact
+        whenever the per-call ``exchange_ok`` history flag stays True
+        (see ``parallel/distributed_resample.py``)."""
         self.g = g
         self.h = h
         self.Q = jnp.asarray(Q)
@@ -94,6 +103,17 @@ class ParticleFilter:
         self.resample_method = str(resample_method)
         self.regularize_after_resample = bool(regularize_after_resample)
         self.axis_name = axis_name
+        if distributed_resample not in ("all_gather", "neighbor"):
+            raise ValueError(
+                "distributed_resample must be 'all_gather' or 'neighbor'."
+            )
+        if distributed_resample == "neighbor" and resample_method != "systematic":
+            raise ValueError(
+                "neighbor-exchange resampling requires resample_method="
+                "'systematic' (its ancestry is a contiguous inverse-CDF)."
+            )
+        self.distributed_resample = distributed_resample
+        self.neighbor_radius = int(neighbor_radius)
 
         self.nx = self.Q.shape[0]
         self.Lq = chol_with_jitter(self.Q, initial=1e-10)
@@ -188,18 +208,33 @@ class ParticleFilter:
             k, p, lw = operand
             k_idx, k_jit = jax.random.split(k)
             n_local = p.shape[0]
+            ok = jnp.asarray(True)
             if self.axis_name is not None:
-                # Cross-shard resampling: gather the global cloud, run the
-                # deterministic-per-key global systematic resample on every
-                # shard (same key ⇒ same u ⇒ identical ancestry), and keep
-                # this shard's output slice. Collectives ride ICI.
-                p_all = lax.all_gather(p, self.axis_name, axis=0, tiled=True)
-                lw_all = lax.all_gather(lw, self.axis_name, axis=0, tiled=True)
-                vals = self._resample_values(k_idx, p_all, lw_all)
-                i = lax.axis_index(self.axis_name)
-                p_new = lax.dynamic_slice_in_dim(
-                    vals, i * n_local, n_local, axis=0
-                )
+                if self.distributed_resample == "neighbor":
+                    # Memory-bounded ±r neighbor-shard exchange; exact
+                    # while the replicated ok flag stays True.
+                    from particle_filters_tpu.parallel.distributed_resample import (
+                        neighbor_exchange_systematic_resample,
+                    )
+
+                    p_new, ok = neighbor_exchange_systematic_resample(
+                        k_idx, p, lw,
+                        axis_name=self.axis_name,
+                        radius=self.neighbor_radius,
+                    )
+                else:
+                    # Cross-shard resampling: gather the global cloud, run
+                    # the deterministic-per-key global systematic resample
+                    # on every shard (same key ⇒ same u ⇒ identical
+                    # ancestry), and keep this shard's output slice.
+                    # Collectives ride ICI.
+                    p_all = lax.all_gather(p, self.axis_name, axis=0, tiled=True)
+                    lw_all = lax.all_gather(lw, self.axis_name, axis=0, tiled=True)
+                    vals = self._resample_values(k_idx, p_all, lw_all)
+                    i = lax.axis_index(self.axis_name)
+                    p_new = lax.dynamic_slice_in_dim(
+                        vals, i * n_local, n_local, axis=0
+                    )
             else:
                 p_new = self._resample_values(k_idx, p, lw)
             if self.regularize_after_resample:
@@ -210,16 +245,20 @@ class ParticleFilter:
                     @ (0.001 * self.Lq.T)
                 )
                 p_new = p_new + jitter
-            return p_new, uniform_logw(self._total_n(p), lw.dtype)[:n_local]
+            return (
+                p_new,
+                uniform_logw(self._total_n(p), lw.dtype)[:n_local],
+                ok,
+            )
 
         def no_resample(operand):
             _, p, lw = operand
-            return p, lw
+            return p, lw, jnp.asarray(True)
 
-        particles, logw = lax.cond(
+        particles, logw, exchange_ok = lax.cond(
             trigger, do_resample, no_resample, (key, particles, logw)
         )
-        return particles, logw, ess, trigger
+        return particles, logw, ess, trigger, exchange_ok
 
     def update(self, key: jax.Array, state: PFState, z, particles=None) -> PFState:
         """Log-weight update + conditional resample + posterior moments
@@ -230,7 +269,7 @@ class ParticleFilter:
             particles = state.particles
         loglik = jax.vmap(lambda x: self._obs_loglik(x, z))(particles)
         logw, _ = log_normalize(state.log_weights + loglik, self.axis_name)
-        particles, logw, _, _ = self._maybe_resample(key, particles, logw)
+        particles, logw, _, _, _ = self._maybe_resample(key, particles, logw)
         mean, cov = weighted_mean_cov(particles, logw, self.axis_name)
         return PFState(
             particles=particles,
@@ -272,7 +311,9 @@ class ParticleFilter:
             logw, log_z = log_normalize(
                 state.log_weights + loglik, self.axis_name
             )
-            particles, logw, ess, trig = self._maybe_resample(k_upd, particles, logw)
+            particles, logw, ess, trig, ex_ok = self._maybe_resample(
+                k_upd, particles, logw
+            )
             mean, cov = weighted_mean_cov(particles, logw, self.axis_name)
             new = PFState(
                 particles=particles,
@@ -288,6 +329,9 @@ class ParticleFilter:
                 "ess": ess,
                 "resampled": trig,
                 "log_evidence": log_z,
+                # True unless a neighbor-exchange resample needed ancestors
+                # beyond ±neighbor_radius shards this step.
+                "exchange_ok": ex_ok,
             }
 
         final, hist = lax.scan(body, state0, (keys, zs, us_seq))

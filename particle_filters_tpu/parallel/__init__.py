@@ -12,11 +12,19 @@ from particle_filters_tpu.parallel.sharded import (
     make_sharded_pf_run,
     shard_pf_state,
 )
-from particle_filters_tpu.parallel.dpf_sharded import make_sharded_dpf_train_step
+from particle_filters_tpu.parallel.dpf_sharded import (
+    make_sharded_dpf_train_step,
+    sharded_soft_resample,
+)
+from particle_filters_tpu.parallel.distributed_resample import (
+    neighbor_exchange_systematic_resample,
+)
 
 __all__ = [
     "make_mesh",
     "make_sharded_pf_run",
     "shard_pf_state",
     "make_sharded_dpf_train_step",
+    "sharded_soft_resample",
+    "neighbor_exchange_systematic_resample",
 ]

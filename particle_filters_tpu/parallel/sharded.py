@@ -12,9 +12,11 @@ sharded over the mesh's ``particles`` axis:
   each shard keeping its slice (see ``ParticleFilter._maybe_resample``).
 
 The all-gather resample is exact and simple; it holds one full copy of the
-cloud per device during the (rare) resample step. A ragged neighbor-exchange
-variant that bounds per-device memory is the planned follow-up for
-multi-host N >> 1e7.
+cloud per device during the (rare) resample step. For multi-host N >> 1e7,
+construct the ParticleFilter with ``distributed_resample="neighbor"``: the
+memory-bounded ppermute neighbor exchange in
+``parallel/distributed_resample.py`` pools only ±radius neighbor shards and
+reports per-step exactness via the ``exchange_ok`` history flag.
 """
 
 from __future__ import annotations
@@ -68,6 +70,7 @@ def make_sharded_pf_run(pf: ParticleFilter, mesh: Mesh):
         "ess": P(),
         "resampled": P(),
         "log_evidence": P(),
+        "exchange_ok": P(),
     }
 
     @partial(

@@ -1,0 +1,177 @@
+"""Memory-bounded neighbor-exchange resampling vs the all-gather path.
+
+The neighbor exchange (``parallel/distributed_resample.py``) must
+reproduce the all-gather global systematic resample exactly (same key,
+same inverse-CDF convention) whenever its ``ok`` flag is True, detect
+radius-insufficient weight distributions, and run the full sharded filter
+to the same accuracy.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from particle_filters_tpu.models import ParticleFilter
+from particle_filters_tpu.parallel import (
+    make_mesh,
+    make_sharded_pf_run,
+    neighbor_exchange_systematic_resample,
+    shard_pf_state,
+)
+from particle_filters_tpu.resampling.hard import systematic_resample_values
+
+S = 8  # shards
+
+
+def _mesh():
+    devs = jax.devices()[:S]
+    return Mesh(np.asarray(devs).reshape(1, S), ("batch", "particles"))
+
+
+def _run_neighbor(key, particles, logw, radius):
+    mesh = _mesh()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("particles", None), P("particles")),
+        out_specs=(P("particles", None), P()),
+        check_vma=False,
+    )
+    def f(k, p, lw):
+        return neighbor_exchange_systematic_resample(
+            k, p, lw, axis_name="particles", radius=radius
+        )
+
+    return f(key, particles, logw)
+
+
+class TestNeighborExchangeEquivalence:
+    @pytest.mark.parametrize("radius", [1, 2])
+    def test_matches_all_gather_on_balanced_weights(self, key, radius):
+        """Near-uniform weights: ancestry is local, any radius suffices and
+        the output must equal the global systematic resample exactly."""
+        N, d = 256, 3
+        particles = jax.random.normal(key, (N, d))
+        logw = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (N,))
+        logw = logw - jax.scipy.special.logsumexp(logw)
+
+        k_res = jax.random.fold_in(key, 2)
+        expected = systematic_resample_values(k_res, particles, logw=logw)
+        got, ok = _run_neighbor(k_res, particles, logw, radius)
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5
+        )
+
+    def test_matches_all_gather_on_moderately_skewed_weights(self, key):
+        """A few-x weight imbalance: radius 2 still covers the ancestry."""
+        N, d = 256, 2
+        particles = jax.random.normal(key, (N, d))
+        # shard-blocked imbalance: shards carry weight factors 1..3
+        factors = jnp.repeat(jnp.asarray([1.0, 3.0, 2.0, 1.0,
+                                          2.0, 3.0, 1.0, 2.0]), N // S)
+        logw = jnp.log(factors)
+        logw = logw - jax.scipy.special.logsumexp(logw)
+
+        k_res = jax.random.fold_in(key, 3)
+        expected = systematic_resample_values(k_res, particles, logw=logw)
+        got, ok = _run_neighbor(k_res, particles, logw, radius=2)
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5
+        )
+
+    def test_detects_insufficient_radius(self, key):
+        """All weight on the last shard: shard 0's ancestors live S-1
+        shards away — radius 1 must report ok=False."""
+        N, d = 128, 1
+        particles = jax.random.normal(key, (N, d))
+        logw = jnp.full((N,), -1e6).at[-N // S:].set(0.0)
+        logw = logw - jax.scipy.special.logsumexp(logw)
+
+        _, ok = _run_neighbor(jax.random.fold_in(key, 4), particles, logw, 1)
+        assert not bool(ok)
+
+    def test_wide_radius_recovers_extreme_skew(self, key):
+        """radius = S-1 pools everything: must match all-gather even for
+        the degenerate one-shard-holds-all case."""
+        N, d = 128, 1
+        particles = jax.random.normal(key, (N, d))
+        logw = jnp.full((N,), -1e6).at[-N // S:].set(0.0)
+        logw = logw - jax.scipy.special.logsumexp(logw)
+
+        k_res = jax.random.fold_in(key, 5)
+        expected = systematic_resample_values(k_res, particles, logw=logw)
+        got, ok = _run_neighbor(k_res, particles, logw, radius=S - 1)
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestNeighborModeFilter:
+    def test_sharded_filter_neighbor_mode_tracks(self, key, sv_data):
+        """Full sharded SIR run with neighbor-exchange resampling: same
+        accuracy as the all-gather mode, and every resample stayed exact
+        (exchange_ok True throughout)."""
+        mesh = make_mesh(n_batch=1, n_particles=8)
+        zs = sv_data.Y[:200, None]
+        xs = sv_data.X[:200]
+
+        def make(mode):
+            def obs_loglik(x, z):
+                var = jnp.exp(x[0])
+                return -0.5 * (z[0] ** 2 / var + jnp.log(var))
+
+            return ParticleFilter(
+                lambda x, u: 0.9 * x, None,
+                Q=np.array([[0.04]], np.float32), R=None,
+                Np=1024, obs_loglik=obs_loglik, axis_name="particles",
+                distributed_resample=mode, neighbor_radius=2,
+            )
+
+        rmses = {}
+        ok_all = None
+        for mode in ("all_gather", "neighbor"):
+            pf = make(mode)
+            st = shard_pf_state(
+                pf.initialize(key, np.zeros(1, np.float32),
+                              np.array([[1.05]], np.float32)),
+                mesh,
+            )
+            _, hist = make_sharded_pf_run(pf, mesh)(
+                jax.random.fold_in(key, 2), st, zs
+            )
+            rmses[mode] = float(
+                jnp.sqrt(jnp.mean((hist["mean"][:, 0] - xs) ** 2))
+            )
+            if mode == "neighbor":
+                ok_all = np.asarray(hist["exchange_ok"])
+        assert rmses["neighbor"] < 1.5
+        assert abs(rmses["neighbor"] - rmses["all_gather"]) < (
+            0.25 * max(rmses.values()) + 0.05
+        )
+        assert ok_all is not None and bool(np.all(ok_all)), (
+            "neighbor exchange needed a wider radius during the run"
+        )
+
+    def test_validates_method_restriction(self):
+        with pytest.raises(ValueError, match="systematic"):
+            ParticleFilter(
+                lambda x, u: x, None, Q=np.eye(1), R=None, Np=64,
+                obs_loglik=lambda x, z: 0.0, axis_name="particles",
+                distributed_resample="neighbor",
+                resample_method="multinomial",
+            )
+        with pytest.raises(ValueError, match="all_gather"):
+            ParticleFilter(
+                lambda x, u: x, None, Q=np.eye(1), R=None, Np=64,
+                obs_loglik=lambda x, z: 0.0,
+                distributed_resample="bogus",
+            )
