@@ -5,6 +5,12 @@ Script equivalent of reference ``notebooks/kalman_filter_LGSSM.ipynb``
 (reported there: mean NEES 2.189, 10-seed MC RMSE 0.1915, Joseph == standard).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import jax.numpy as jnp
 import numpy as np
 

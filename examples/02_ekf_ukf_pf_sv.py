@@ -6,6 +6,12 @@ Script equivalent of reference ``notebooks/EKF_UKF_PF_comparison.ipynb``
 ms per step on CPU).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import time
 
 import jax

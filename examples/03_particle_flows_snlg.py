@@ -5,6 +5,12 @@ Script equivalent of reference ``notebooks/PF_PF_results_reproduction_snlg.ipynb
 (reported MSEs at d=64, σ_z=2: KF 0.4958, UKF 0.4958, EDH-200 0.6510).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -5,6 +5,12 @@ Script equivalent of reference ``notebooks/SPF_results_reproduction_example1.ipy
 (20 MC runs; linear-β RMSE ≈ 6.3 there on a harder scenario).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,12 @@ Script equivalent of reference ``notebooks/DPF_resampling_comparison_linear.ipyn
 8 ms / 3.55 s / 4.2 ms on CPU/TF-eager).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import time
 
 import jax

@@ -8,6 +8,12 @@ on CPU). Weight normalization/ESS/moments are psum over ICI; resampling
 ancestry crosses shards via all_gather.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import time
 
 import jax

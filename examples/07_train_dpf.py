@@ -7,6 +7,12 @@ end-to-end (this is what the reference's TF DPF modules enable; here it is
 plain ``jax.grad`` + a simple SGD loop).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
 import jax
 import jax.numpy as jnp
 

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""LEDH particle flow driven by the SPF's stiffness-optimal β(λ) schedule.
+
+Script equivalent of reference ``notebooks/SPF_LEDH.ipynb``: the bearing-only
+single-update problem of the SPF paper's Example 1 —
+
+  * true target at (4, 4); sensors at (±3.5, 0),
+  * prior N([3, 5], diag(1000, 2))  (the stiff 500:1 prior),
+  * bearings z = [0.4754, 1.1868], R = 0.04 I,
+
+run through the LEDH flow twice with the SAME initial particles: once with
+the standard linear β = λ schedule, once with the SPF optimal β* computed by
+``solve_beta_star_bisection`` on the locally-linearized model (μ = 0.2,
+16 λ-steps). The notebook's *hypothesis* is that β* improves the estimate;
+its saved outputs honestly reject it on this problem (single update: linear
+RMSE 8.12 vs optimal 9.53; 50-trial MC: 8.18 ± 0.18 vs 9.48 ± 0.16, linear
+significantly better; max-κ "reduction" 1.00× because both schedules share
+the stiff β = 0 prior). This script reproduces those findings — including
+the negative result.
+
+TPU-first: the custom schedule rides the same ``lax.scan`` flow
+(``LEDHFlowPF.step(beta_schedule=...)``) — no subclass with a Python λ-loop
+like the notebook's ``LEDHFlowPF_CustomBeta``; κ₂ profiles come from one
+``vmap`` over the β grid.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from particle_filters_tpu.core.weights import ess_from_logw
+from particle_filters_tpu.models.ledh_particle_filter import LEDHConfig, LEDHFlowPF
+from particle_filters_tpu.models.stochastic_particle_filter import (
+    LinearGaussianBayes,
+    kappa2_and_derivative,
+    solve_beta_star_bisection,
+)
+from particle_filters_tpu.models.trackers import TrackerState
+
+X_TRUE = jnp.array([4.0, 4.0])
+SENSORS = jnp.array([[3.5, 0.0], [-3.5, 0.0]])
+X_PRIOR = jnp.array([3.0, 5.0])
+P_PRIOR = jnp.diag(jnp.array([1000.0, 2.0]))
+R = 0.04 * jnp.eye(2)
+Z_OBS = jnp.array([0.4754, 1.1868])
+MU, N_STEPS, N_PARTICLES = 0.2, 16, 256
+
+
+def h_bearing(x):
+    d = x[None, :] - SENSORS  # (2 sensors, 2)
+    return jnp.arctan2(d[:, 1], d[:, 0])
+
+
+def log_like(z, x):
+    diff = z - h_bearing(x)
+    diff = jnp.arctan2(jnp.sin(diff), jnp.cos(diff))  # wrap angles
+    return -0.5 * diff @ jnp.linalg.solve(R, diff)
+
+
+class StaticTracker:
+    """Single-update problem: predict always returns the fixed prior
+    (the notebook's DummyTracker)."""
+
+    def init(self):
+        return TrackerState(mean=X_PRIOR, cov=P_PRIOR,
+                            past_mean=X_PRIOR, t=jnp.asarray(0, jnp.int32))
+
+    def predict(self, ts, u=None):
+        return ts, X_PRIOR, P_PRIOR
+
+    def update(self, ts, z):
+        return ts, ts.mean, ts.cov
+
+
+# ---- schedules ---------------------------------------------------------------
+H_prior = jax.jacfwd(h_bearing)(X_PRIOR)
+model = LinearGaussianBayes.create(X_PRIOR, P_PRIOR, H_prior, R, Z_OBS)
+lam_opt, beta_opt, _ = solve_beta_star_bisection(
+    model.M0, model.Mh, mu=MU, n_grid=N_STEPS + 1
+)
+beta_lin = jnp.linspace(0.0, 1.0, N_STEPS + 1)
+
+kappas = jax.vmap(
+    lambda b: kappa2_and_derivative(model.M0 + b * model.Mh, model.Mh)[0]
+)
+k_lin, k_opt = kappas(beta_lin), kappas(beta_opt)
+print("condition-number profile κ₂(M(β)) along the flow:")
+print(f"  linear β : max {float(k_lin.max()):10.2e}   mean {float(k_lin.mean()):10.2e}")
+print(f"  optimal β*: max {float(k_opt.max()):10.2e}   mean {float(k_opt.mean()):10.2e}")
+print(f"  max-κ reduction: {float(k_lin.max() / k_opt.max()):.2f}×")
+# Both schedules start at the shared stiff prior (β=0, κ = 500), which
+# dominates the max — the notebook's max-κ ratio prints 1.00× here too.
+# Where the schedules actually differ is the interior: β* spends its early
+# λ budget crossing the steep κ drop slowly.
+print(
+    f"  interior (λ > 0) κ: linear mean {float(k_lin[1:].mean()):.2f}, "
+    f"optimal mean {float(k_opt[1:].mean()):.2f}; "
+    f"per-step max |Δκ|: linear {float(jnp.abs(jnp.diff(k_lin)).max()):.1f}, "
+    f"optimal {float(jnp.abs(jnp.diff(k_opt)).max()):.1f}"
+)
+
+# ---- one LEDH update from identical particles --------------------------------
+tracker = StaticTracker()
+ledh = LEDHFlowPF(
+    tracker=tracker,
+    g=lambda x, u, v: x,  # identity dynamics, single Bayes update
+    h=h_bearing,
+    jacobian_h=jax.jacfwd(h_bearing),
+    log_trans_pdf=lambda xn, xo: 0.0,
+    log_like_pdf=log_like,
+    R=R,
+    config=LEDHConfig(n_particles=N_PARTICLES, n_lambda_steps=N_STEPS,
+                      resample_ess_ratio=0.0),
+)
+state0 = ledh.init_from_gaussian(jax.random.PRNGKey(42), X_PRIOR, P_PRIOR)
+
+print(
+    f"\nLEDH single update, N={N_PARTICLES}, {N_STEPS} λ-steps, identical "
+    "particles\n(notebook: linear (11.51, 7.09) RMSE 8.12 ESS 135.4; "
+    "optimal (13.03, 7.05) RMSE 9.53 ESS 135.1):"
+)
+for name, sched in (("linear β", beta_lin), ("optimal β*", beta_opt)):
+    st, _ = jax.jit(
+        lambda s: ledh.step(
+            jax.random.PRNGKey(0), s, tracker.init(), Z_OBS, beta_schedule=sched
+        )
+    )(state0)
+    err = float(jnp.linalg.norm(st.mean - X_TRUE))
+    ess = float(ess_from_logw(st.log_weights))
+    conds = st.diagnostics["condition_numbers"]
+    print(
+        f"  {name:11s} estimate ({float(st.mean[0]):6.3f}, {float(st.mean[1]):6.3f})"
+        f"   RMSE {err:7.4f}   ESS {ess:6.1f}/{N_PARTICLES}"
+        f"   flow cond(S⁰) max {float(conds.max()):.2e}"
+    )
+print(f"  true state  (4.000,  4.000); prior mean (3, 5), prior κ {1000 / 2:.0f}:1")
+
+# ---- Monte Carlo over prior draws (notebook cells 20-21: 50 trials) ----------
+N_TRIALS = 50
+
+
+def one_trial(key):
+    st = ledh.init_from_gaussian(key, X_PRIOR, P_PRIOR)
+    out = {}
+    for name, sched in (("lin", beta_lin), ("opt", beta_opt)):
+        stf, _ = ledh.step(
+            jax.random.fold_in(key, 1), st, tracker.init(), Z_OBS,
+            beta_schedule=sched,
+        )
+        out[name] = (
+            jnp.linalg.norm(stf.mean - X_TRUE),
+            ess_from_logw(stf.log_weights),
+        )
+    return out
+
+
+mc = jax.jit(jax.vmap(one_trial))(jax.random.split(jax.random.PRNGKey(7), N_TRIALS))
+print(f"\nMonte Carlo, {N_TRIALS} prior draws (one vmap; notebook loops 50 trials):")
+for name, label in (("lin", "linear β"), ("opt", "optimal β*")):
+    err, ess = mc[name]
+    print(
+        f"  {label:11s} RMSE {float(err.mean()):7.4f} ± {float(err.std()):6.4f}"
+        f"   ESS {float(ess.mean()):6.1f} ± {float(ess.std()):5.1f}"
+    )
+wins = float(jnp.mean((mc["opt"][0] < mc["lin"][0]).astype(jnp.float32)))
+print(f"  optimal β* lower-error fraction: {wins * 100:.0f}% of trials")
+print(
+    "  notebook MC: linear 8.18 ± 0.18, optimal 9.48 ± 0.16 — linear β wins\n"
+    "  significantly on this problem; the reproduction confirms the\n"
+    "  notebook's negative result for its own hypothesis."
+)

@@ -171,8 +171,18 @@ class LEDHFlowPF:
         z,
         u=None,
         process_noise_sampler: Optional[Callable] = None,
+        beta_schedule: Optional[jax.Array] = None,
     ) -> Tuple[FlowPFState, TrackerState]:
-        """One LEDH step (reference ``step`` :93-211)."""
+        """One LEDH step (reference ``step`` :93-211).
+
+        ``beta_schedule`` optionally replaces the uniform λ grid with a
+        custom monotone temper schedule β(λ) of shape (n_lambda_steps + 1,)
+        running 0 → 1 — e.g. the SPF stiffness-mitigating optimal β* from
+        ``solve_beta_star_bisection`` (the coupling demonstrated by reference
+        ``notebooks/SPF_LEDH.ipynb``, class ``LEDHFlowPF_CustomBeta``). The
+        flow is then evaluated at temper levels β_k with Euler increments
+        ε_k = β_{k+1} − β_k; the Woodbury log-det identity stays valid since
+        monotone β ⇒ ε_k ≤ β_{k+1}."""
         z = jnp.asarray(z)
         n, nx = state.particles.shape
         I = jnp.eye(nx, dtype=state.particles.dtype)
@@ -188,10 +198,20 @@ class LEDHFlowPF:
         eta0 = jax.vmap(lambda x, vi: self.g(x, u, vi))(state.particles, v)
 
         n_steps = max(1, int(self.cfg.n_lambda_steps))
-        dlam = 1.0 / n_steps
-        lams = jnp.minimum(
-            (jnp.arange(n_steps, dtype=state.particles.dtype) + 1) * dlam, 1.0
-        )
+        dtype = state.particles.dtype
+        if beta_schedule is None:
+            dlam = 1.0 / n_steps
+            lams = jnp.minimum((jnp.arange(n_steps, dtype=dtype) + 1) * dlam, 1.0)
+            dlams = jnp.full((n_steps,), dlam, dtype)
+        else:
+            beta = jnp.asarray(beta_schedule, dtype)
+            if beta.shape != (n_steps + 1,):
+                raise ValueError(
+                    f"beta_schedule must have shape ({n_steps + 1},) = "
+                    f"(n_lambda_steps + 1,); got {beta.shape}."
+                )
+            lams = beta[1:]
+            dlams = jnp.diff(beta)
 
         Lp = chol_with_jitter(P, initial=1e-9)
         P_inv = jax.scipy.linalg.cho_solve((Lp, True), I)
@@ -201,7 +221,8 @@ class LEDHFlowPF:
             in_axes=(None, None, 0, 0, 0, None, None, None, None),
         )
 
-        def flow_step(carry, lam):
+        def flow_step(carry, inp):
+            lam, dlam = inp
             eta, etabar, theta_log = carry
             cond0 = self._cond_first_particle(lam, eta[0], P)
             eta_new, etabar_new, logdets = flow_batched(
@@ -213,7 +234,7 @@ class LEDHFlowPF:
         (eta, _, theta_log), conds = lax.scan(
             flow_step,
             (eta0, eta0, jnp.zeros((n,), state.particles.dtype)),
-            lams,
+            (lams, dlams),
         )
         xk = eta
 
@@ -260,6 +281,7 @@ class LEDHFlowPF:
         tracker_state0: TrackerState,
         zs: jax.Array,
         process_noise_sampler: Optional[Callable] = None,
+        beta_schedule: Optional[jax.Array] = None,
     ):
         """Filter a (T, nz) sequence in one ``lax.scan``."""
         T = zs.shape[0]
@@ -269,7 +291,9 @@ class LEDHFlowPF:
             st, ts = carry
             k, z = inp
             st, ts = self.step(
-                k, st, ts, z, process_noise_sampler=process_noise_sampler
+                k, st, ts, z,
+                process_noise_sampler=process_noise_sampler,
+                beta_schedule=beta_schedule,
             )
             hist = {
                 "mean": st.mean,

@@ -286,14 +286,35 @@ class ParticleFilter:
         particles = self.predict(k_pred, state, u)
         return self.update(k_upd, state, z, particles=particles)
 
-    def run(self, key: jax.Array, state0: PFState, zs: jax.Array, us=None):
+    def run(
+        self,
+        key: jax.Array,
+        state0: PFState,
+        zs: jax.Array,
+        us=None,
+        *,
+        track_degeneracy: bool = False,
+    ):
         """Filter a whole (T, nz) sequence in one ``lax.scan``.
 
         Returns ``(final_state, history)`` where history is a dict of stacked
         per-step diagnostics: mean (T, nx), cov (T, nx, nx), ess (T,),
         resampled (T,) — the trace the reference's tests/notebooks rebuild by
         hand around ``pf.step`` (e.g. ``test_pf_vs_simulator_sv.py:137``).
+
+        With ``track_degeneracy`` the history additionally carries the
+        degeneracy panel of ``notebooks/particle_filter_NLNGSSM.ipynb``
+        phase 1 — normalized weight entropy, Gini coefficient, max weight
+        (all on the pre-resample posterior weights), and ``unique_frac``, the
+        fraction of ancestors that survive the step's systematic resample
+        (1.0 on steps that do not resample). Single-device only: the panel
+        reads local weights, so it is not defined under ``axis_name``.
         """
+        if track_degeneracy and self.axis_name is not None:
+            raise ValueError(
+                "track_degeneracy reads the local weight vector and is not "
+                "defined for sharded (axis_name) runs."
+            )
         T = zs.shape[0]
         keys = jax.random.split(key, T)
         us_seq = us if us is not None else jnp.zeros((T, 0))
@@ -308,11 +329,11 @@ class ParticleFilter:
             # incremental marginal likelihood log p(z_t | z_{1:t-1}) up to
             # the constant the Gaussian path drops (the KF path returns the
             # exact analog, reference models/kalman_filter.py:229-234).
-            logw, log_z = log_normalize(
+            logw_pre, log_z = log_normalize(
                 state.log_weights + loglik, self.axis_name
             )
             particles, logw, ess, trig, ex_ok = self._maybe_resample(
-                k_upd, particles, logw
+                k_upd, particles, logw_pre
             )
             mean, cov = weighted_mean_cov(particles, logw, self.axis_name)
             new = PFState(
@@ -323,7 +344,7 @@ class ParticleFilter:
                 cov=cov,
                 t=state.t + 1,
             )
-            return new, {
+            out = {
                 "mean": mean,
                 "cov": cov,
                 "ess": ess,
@@ -333,6 +354,28 @@ class ParticleFilter:
                 # beyond ±neighbor_radius shards this step.
                 "exchange_ok": ex_ok,
             }
+            if track_degeneracy:
+                from particle_filters_tpu.resampling.hard import (
+                    systematic_counts,
+                )
+                from particle_filters_tpu.utils.diagnostics import (
+                    max_weight,
+                    weight_entropy,
+                    weight_gini,
+                )
+
+                # Same key derivation as _maybe_resample's do_resample branch
+                # so the counts match the resample that actually ran.
+                k_idx, _ = jax.random.split(k_upd)
+                counts = systematic_counts(k_idx, logw=logw_pre)
+                survive = jnp.mean((counts > 0).astype(jnp.float32))
+                out.update(
+                    entropy=weight_entropy(logw_pre),
+                    gini=weight_gini(logw_pre),
+                    max_weight=max_weight(logw_pre),
+                    unique_frac=jnp.where(trig, survive, 1.0),
+                )
+            return new, out
 
         final, hist = lax.scan(body, state0, (keys, zs, us_seq))
         return final, hist

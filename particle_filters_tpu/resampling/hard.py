@@ -88,6 +88,29 @@ def systematic_resample(
     return jnp.cumsum(marks) - 1
 
 
+def systematic_counts(
+    key: jax.Array,
+    w: Optional[jax.Array] = None,
+    *,
+    logw: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-ancestor child counts under systematic resampling with the SAME
+    inverse-CDF convention (and the same ``key`` ⇒ same u) as
+    ``systematic_resample``: counts_j = t_j − t_{j−1}.
+
+    Lets diagnostics report the post-resample unique-particle fraction
+    (``mean(counts > 0)``) without materializing ancestors — the cloud-
+    diversity proxy of ``notebooks/particle_filter_NLNGSSM.ipynb`` phase 1.
+    """
+    weights = _weights_from(w, logw)
+    n = weights.shape[0]
+    cdf = jnp.cumsum(weights)
+    cdf = cdf / cdf[-1]
+    u = jax.random.uniform(key, (), weights.dtype)
+    t = jnp.clip(jnp.ceil(n * cdf - u), 0.0, n).astype(jnp.int32)
+    return jnp.diff(t, prepend=jnp.zeros((1,), jnp.int32))
+
+
 def systematic_resample_values(
     key: jax.Array,
     particles: jax.Array,

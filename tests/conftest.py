@@ -26,6 +26,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Bound per-process compiled-executable accumulation.
+
+    A full single-process run compiles ~400 distinct XLA:CPU programs; at
+    ~#330 the compiler segfaults inside ``backend_compile_and_load``
+    (observed twice at *different* tests — test_spf β-bisection and
+    test_simulators skew-t vmap — i.e. a resource/state problem, not a bad
+    program; chunked runs of the same tests all pass). Dropping the
+    compilation caches between modules keeps the live-executable count
+    bounded; modules share few jitted functions, so the recompile cost is
+    small.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def key():
     return jax.random.PRNGKey(42)

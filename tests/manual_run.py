@@ -25,11 +25,25 @@ PHASES = {
     "ekf": ["tests/unit/test_classical_filters.py::TestEKF"],
     "ukf": ["tests/unit/test_classical_filters.py::TestUKF"],
     "pf": ["tests/unit/test_particle_filter.py"],
-    "flows": ["tests/unit/test_flow_filters.py"],
+    "flows": [
+        "tests/unit/test_flow_filters.py",
+        "tests/unit/test_ledh_woodbury.py",
+    ],
+    "trackers": ["tests/unit/test_trackers.py"],
     "kpf": ["tests/unit/test_kpf.py"],
-    "spf": ["tests/unit/test_spf.py"],
-    "dpf": ["tests/unit/test_dpf.py"],
-    "sharding": ["tests/unit/test_sharding.py"],
+    "spf": [
+        "tests/unit/test_spf.py",
+        "tests/unit/test_spf_condition_number.py",
+    ],
+    "dpf": [
+        "tests/unit/test_dpf.py",
+        "tests/unit/test_grad_checks.py",
+    ],
+    "sharding": [
+        "tests/unit/test_sharding.py",
+        "tests/unit/test_distributed_resample.py",
+    ],
+    "utils": ["tests/unit/test_utils.py"],
     "unit": ["tests/unit"],
     "integration": ["tests/integration"],
     "sv": [
@@ -46,6 +60,7 @@ PHASES = {
     ],
     "skewt": [
         "tests/unit/test_simulators.py::TestSkewT",
+        "tests/unit/test_skewt_simulator.py",
         "tests/integration/test_filters_skewt.py",
     ],
     "mat": [

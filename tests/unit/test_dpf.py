@@ -246,3 +246,144 @@ class TestDPFRNN:
         params = dpf.init_resampler(key)
         ps, _ = dpf.filter(params, key, Y[:1, :3], jnp.zeros(1), jnp.eye(1))
         assert np.all(np.isfinite(np.asarray(ps)))
+
+
+class TestPairwiseDistances:
+    """Reference ``test_dpf_ot_shapes_and_api.py`` pairwise-distance block."""
+
+    def test_shape_symmetry_diagonal(self, key):
+        from particle_filters_tpu.resampling.ot import pairwise_squared_distances
+
+        x = jax.random.normal(key, (12, 3))
+        C = pairwise_squared_distances(x, x)
+        assert C.shape == (12, 12)
+        np.testing.assert_allclose(np.asarray(C), np.asarray(C).T, atol=1e-5)
+        np.testing.assert_allclose(np.diag(np.asarray(C)), 0.0, atol=1e-5)
+        assert float(C.min()) >= -1e-6
+
+    def test_matches_direct_computation(self, key):
+        from particle_filters_tpu.resampling.ot import pairwise_squared_distances
+
+        x = jax.random.normal(key, (6, 2))
+        y = jax.random.normal(jax.random.fold_in(key, 1), (4, 2))
+        C = np.asarray(pairwise_squared_distances(x, y))
+        xn, yn = np.asarray(x), np.asarray(y)
+        direct = ((xn[:, None, :] - yn[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(C, direct, rtol=1e-4, atol=1e-5)
+
+
+class TestDPFShapesAPI:
+    """Remaining reference shapes/API archetypes across the three variants
+    (``test_dpf_soft_shapes_and_api.py``, ``test_dpf_ot_shapes_and_api.py``,
+    ``test_dpf_rnn_shapes_and_api.py``)."""
+
+    def test_soft_init_particles(self, key):
+        dpf = DifferentiableParticleFilter(20, 2, transition, log_likelihood)
+        p, lw = dpf.init_particles(key, 3, jnp.zeros(2), jnp.eye(2))
+        assert p.shape == (3, 20, 2)
+        assert lw.shape == (3, 20)
+        np.testing.assert_allclose(
+            np.asarray(jnp.exp(jax.scipy.special.logsumexp(lw, axis=-1))),
+            1.0, atol=1e-4,
+        )
+
+    def test_soft_init_gaussian_moments(self, key):
+        dpf = DifferentiableParticleFilter(4000, 2, transition, log_likelihood)
+        mean = jnp.array([1.0, -2.0])
+        chol = jnp.linalg.cholesky(jnp.array([[2.0, 0.3], [0.3, 0.5]]))
+        p, _ = dpf.init_particles(key, 1, mean, chol)
+        emp_mean = np.asarray(jnp.mean(p[0], axis=0))
+        np.testing.assert_allclose(emp_mean, np.asarray(mean), atol=0.1)
+        emp_cov = np.cov(np.asarray(p[0]).T)
+        np.testing.assert_allclose(emp_cov, np.asarray(chol @ chol.T), atol=0.25)
+
+    def test_ot_init_uniform_weights(self, key):
+        dpf = TestDPFOT._make(25)
+        p, w = dpf.init_particles(key, jnp.zeros(1), jnp.eye(1))
+        assert p.shape == (25, 1)
+        np.testing.assert_allclose(np.asarray(w), 1.0 / 25, rtol=1e-5)
+
+    def test_ot_step_uniform_output_weights(self, key, lg_data):
+        X, Y, _ = lg_data
+        dpf = TestDPFOT._make(20)
+        p, w = dpf.init_particles(key, jnp.zeros(1), jnp.eye(1))
+        p2, w2 = dpf.step(jax.random.fold_in(key, 1), p, w, Y[0, 0])
+        assert p2.shape == (20, 1)
+        np.testing.assert_allclose(np.asarray(w2), 1.0 / 20, rtol=1e-4)
+
+    def test_ot_single_step_sequence(self, key, lg_data):
+        X, Y, _ = lg_data
+        dpf = TestDPFOT._make(15)
+        ps, ws = dpf.run_filter(key, Y[0, :1], jnp.zeros(1), jnp.eye(1))
+        assert ps.shape == (2, 15, 1)  # init + one step
+
+    def test_soft_seed_reproducible(self, key, lg_data):
+        X, Y, _ = lg_data
+        dpf = DifferentiableParticleFilter(20, 1, transition, log_likelihood)
+        ps1, lw1 = dpf.filter(key, Y, jnp.zeros(1), jnp.eye(1))
+        ps2, lw2 = dpf.filter(key, Y, jnp.zeros(1), jnp.eye(1))
+        np.testing.assert_array_equal(np.asarray(ps1), np.asarray(ps2))
+
+    def test_soft_different_keys_differ(self, key, lg_data):
+        X, Y, _ = lg_data
+        dpf = DifferentiableParticleFilter(20, 1, transition, log_likelihood)
+        ps1, _ = dpf.filter(key, Y, jnp.zeros(1), jnp.eye(1))
+        ps2, _ = dpf.filter(jax.random.fold_in(key, 1), Y, jnp.zeros(1), jnp.eye(1))
+        assert not np.allclose(np.asarray(ps1), np.asarray(ps2))
+
+    def test_soft_temperature_effect(self, key, lg_data):
+        """Lower Gumbel temperature ⇒ harder assignments ⇒ lower assignment
+        entropy (reference soft hyperparameter sweep)."""
+        X, Y, _ = lg_data
+        ents = {}
+        for temp in (0.05, 2.0):
+            dpf = DifferentiableParticleFilter(
+                30, 1, transition, log_likelihood, gumbel_temperature=temp
+            )
+            _, _, diag = dpf.filter(
+                key, Y, jnp.zeros(1), jnp.eye(1), return_diagnostics=True
+            )
+            ents[temp] = float(diag["assignment_entropy_mean_mean"])
+        assert ents[0.05] < ents[2.0]
+
+    def test_ot_epsilon_effect_on_plan_sparsity(self, key):
+        """Smaller ε concentrates the transport plan (reference
+        ``test_sinkhorn_epsilon_effect``)."""
+        from particle_filters_tpu.resampling.ot import sinkhorn_ot_resample
+
+        p = jax.random.normal(key, (24, 2))
+        w = jax.nn.softmax(jax.random.normal(jax.random.fold_in(key, 1), (24,)))
+        sparsity = {}
+        for eps in (0.05, 5.0):
+            _, _, diag = sinkhorn_ot_resample(
+                p, w, epsilon=eps, n_iters=60, return_diagnostics=True
+            )
+            sparsity[eps] = float(diag["transport_plan_sparsity"])
+        assert sparsity[0.05] < sparsity[5.0]
+
+    def test_ot_diagnostics_keys(self, key):
+        from particle_filters_tpu.resampling.ot import sinkhorn_ot_resample
+
+        p = jax.random.normal(key, (16, 2))
+        w = jnp.full((16,), 1.0 / 16)
+        _, _, diag = sinkhorn_ot_resample(p, w, return_diagnostics=True)
+        for k in ("final_delta", "converged", "ot_distance",
+                  "transport_plan_sparsity", "dual_variables"):
+            assert k in diag, k
+
+    def test_rnn_init_resampler_pytree(self, key):
+        dpf = DifferentiableParticleFilterRNN(10, 1, transition, log_likelihood)
+        params = dpf.init_resampler(key)
+        leaves = jax.tree_util.tree_leaves(params)
+        assert len(leaves) > 0
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+    def test_rnn_seed_reproducible(self, key, lg_data):
+        X, Y, _ = lg_data
+        dpf = DifferentiableParticleFilterRNN(
+            12, 1, transition, log_likelihood, use_baseline_resampling=True
+        )
+        params = dpf.init_resampler(key)
+        ps1, _ = dpf.filter(params, key, Y, jnp.zeros(1), jnp.eye(1))
+        ps2, _ = dpf.filter(params, key, Y, jnp.zeros(1), jnp.eye(1))
+        np.testing.assert_array_equal(np.asarray(ps1), np.asarray(ps2))

@@ -205,3 +205,251 @@ class TestLEDH:
         st2, _ = ledh.step(key, st, ts, jnp.array([1.2]), process_noise_sampler=ns)
         assert np.all(np.isfinite(np.asarray(st2.mean)))
         assert np.all(np.isfinite(np.asarray(st2.particles)))
+
+
+class TestLEDHBetaSchedule:
+    """Custom monotone β(λ) temper schedules in the LEDH flow
+    (reference ``notebooks/SPF_LEDH.ipynb``, ``LEDHFlowPF_CustomBeta``)."""
+
+    def _ledh(self, linear_flow, n_steps=8, n=64):
+        g, h, jh, lt, ll, R, tracker, ns = linear_flow
+        return (
+            LEDHFlowPF(
+                tracker, g, h, jh, lt, ll, R,
+                LEDHConfig(n_particles=n, n_lambda_steps=n_steps),
+            ),
+            tracker,
+            ns,
+        )
+
+    def test_linear_schedule_matches_default(self, key, linear_flow, lgssm_data):
+        """β = λ (uniform grid) must reproduce the default path exactly."""
+        ledh, tracker, ns = self._ledh(linear_flow)
+        st = ledh.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        z = lgssm_data.Y[0]
+        st_def, _ = ledh.step(key, st, ts, z, process_noise_sampler=ns)
+        beta_lin = jnp.linspace(0.0, 1.0, 9)
+        st_lin, _ = ledh.step(
+            key, st, ts, z, process_noise_sampler=ns, beta_schedule=beta_lin
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_lin.particles), np.asarray(st_def.particles),
+            rtol=2e-5, atol=2e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_lin.log_weights), np.asarray(st_def.log_weights),
+            rtol=1e-4, atol=5e-4,
+        )
+
+    def test_nonuniform_schedule_finite_and_distinct(self, key, linear_flow, lgssm_data):
+        ledh, tracker, ns = self._ledh(linear_flow)
+        st = ledh.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        z = lgssm_data.Y[0]
+        # quadratic ramp: slow start, fast finish; still 0 → 1 monotone
+        beta = jnp.linspace(0.0, 1.0, 9) ** 2
+        st_q, _ = ledh.step(
+            key, st, ts, z, process_noise_sampler=ns, beta_schedule=beta
+        )
+        assert np.all(np.isfinite(np.asarray(st_q.particles)))
+        assert np.all(np.isfinite(np.asarray(st_q.log_weights)))
+        st_def, _ = ledh.step(key, st, ts, z, process_noise_sampler=ns)
+        assert not np.allclose(
+            np.asarray(st_q.particles), np.asarray(st_def.particles)
+        )
+
+    def test_bad_shape_raises(self, key, linear_flow, lgssm_data):
+        ledh, tracker, ns = self._ledh(linear_flow)
+        st = ledh.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        with pytest.raises(ValueError, match="beta_schedule"):
+            ledh.step(
+                key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns,
+                beta_schedule=jnp.linspace(0.0, 1.0, 5),
+            )
+
+    def test_run_accepts_schedule(self, key, linear_flow, lgssm_data):
+        ledh, tracker, ns = self._ledh(linear_flow, n_steps=4, n=32)
+        st = ledh.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        beta = jnp.linspace(0.0, 1.0, 5) ** 1.5
+        _, _, hist = jax.jit(
+            lambda k, s, t: ledh.run(
+                k, s, t, lgssm_data.Y[:10],
+                process_noise_sampler=ns, beta_schedule=beta,
+            )
+        )(key, st, ts)
+        assert hist["mean"].shape == (10, 2)
+        assert np.all(np.isfinite(np.asarray(hist["mean"])))
+
+
+class TestFlowArchetypes:
+    """Remaining reference LEDH/EDH archetypes
+    (``test_ledh_flow_pf.py:356-874``, ``test_edh_flow_pf.py``): weight
+    normalization, particle evolution, sequential steps, resampling count
+    preservation, covariance symmetry/PSD, extreme observations, single
+    particle / single λ-step / high-dimensional edge cases."""
+
+    def _make(self, linear_flow, cls, cfg):
+        g, h, jh, lt, ll, R, tracker, ns = linear_flow
+        return cls(tracker, g, h, jh, lt, ll, R, cfg), tracker, ns
+
+    @pytest.mark.parametrize("which", ["edh", "ledh"])
+    def test_step_weights_normalized(self, key, linear_flow, lgssm_data, which):
+        cls, cfg = (
+            (EDHFlowPF, EDHConfig(n_particles=64))
+            if which == "edh"
+            else (LEDHFlowPF, LEDHConfig(n_particles=64))
+        )
+        filt, tracker, ns = self._make(linear_flow, cls, cfg)
+        st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        st2, _ = filt.step(key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns)
+        assert np.isclose(float(jnp.sum(st2.weights)), 1.0, atol=1e-4)
+        assert np.all(np.asarray(st2.weights) >= 0)
+
+    @pytest.mark.parametrize("which", ["edh", "ledh"])
+    def test_step_particles_evolve(self, key, linear_flow, lgssm_data, which):
+        cls, cfg = (
+            (EDHFlowPF, EDHConfig(n_particles=64))
+            if which == "edh"
+            else (LEDHFlowPF, LEDHConfig(n_particles=64))
+        )
+        filt, tracker, ns = self._make(linear_flow, cls, cfg)
+        st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        st2, _ = filt.step(key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns)
+        assert not np.allclose(np.asarray(st2.particles), np.asarray(st.particles))
+
+    def test_sequential_steps_advance_time(self, key, linear_flow, lgssm_data):
+        filt, tracker, ns = self._make(
+            linear_flow, LEDHFlowPF, LEDHConfig(n_particles=32)
+        )
+        st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        for k in range(3):
+            st, ts = filt.step(
+                jax.random.fold_in(key, k), st, ts, lgssm_data.Y[k],
+                process_noise_sampler=ns,
+            )
+            assert np.all(np.isfinite(np.asarray(st.mean)))
+        assert int(ts.t) == 3
+
+    def test_resampling_preserves_particle_count(self, key, linear_flow, lgssm_data):
+        filt, tracker, ns = self._make(
+            linear_flow, LEDHFlowPF,
+            LEDHConfig(n_particles=48, resample_ess_ratio=1.0),  # always resample
+        )
+        st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        st2, _ = filt.step(key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns)
+        assert st2.particles.shape == (48, 2)
+        # resampled weights are uniform
+        np.testing.assert_allclose(
+            np.asarray(st2.weights), 1.0 / 48, rtol=1e-4
+        )
+
+    def test_resampling_disabled_keeps_weights(self, key, linear_flow, lgssm_data):
+        filt, tracker, ns = self._make(
+            linear_flow, LEDHFlowPF,
+            LEDHConfig(n_particles=48, resample_ess_ratio=0.0),
+        )
+        st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        st2, _ = filt.step(key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns)
+        w = np.asarray(st2.weights)
+        assert w.std() > 1e-9  # non-uniform: the correction was kept
+
+    @pytest.mark.parametrize("which", ["edh", "ledh"])
+    def test_covariance_symmetric_psd(self, key, linear_flow, lgssm_data, which):
+        cls, cfg = (
+            (EDHFlowPF, EDHConfig(n_particles=64))
+            if which == "edh"
+            else (LEDHFlowPF, LEDHConfig(n_particles=64))
+        )
+        filt, tracker, ns = self._make(linear_flow, cls, cfg)
+        st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        st2, _ = filt.step(key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns)
+        P = np.asarray(st2.cov, np.float64)
+        np.testing.assert_allclose(P, P.T, atol=1e-5)
+        assert np.linalg.eigvalsh(P).min() > -1e-5
+
+    def test_extreme_observation_stays_finite(self, key, linear_flow):
+        filt, tracker, ns = self._make(
+            linear_flow, LEDHFlowPF, LEDHConfig(n_particles=32)
+        )
+        st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        st2, _ = filt.step(
+            key, st, ts, jnp.array([50.0, -50.0]), process_noise_sampler=ns
+        )
+        assert np.all(np.isfinite(np.asarray(st2.particles)))
+        assert np.all(np.isfinite(np.asarray(st2.mean)))
+
+    def test_single_particle(self, key, linear_flow, lgssm_data):
+        filt, tracker, ns = self._make(
+            linear_flow, LEDHFlowPF,
+            LEDHConfig(n_particles=1, resample_ess_ratio=0.0),
+        )
+        st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        st2, _ = filt.step(key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns)
+        assert st2.particles.shape == (1, 2)
+        assert np.isclose(float(st2.weights[0]), 1.0, atol=1e-5)
+
+    def test_single_lambda_step(self, key, linear_flow, lgssm_data):
+        filt, tracker, ns = self._make(
+            linear_flow, LEDHFlowPF,
+            LEDHConfig(n_particles=32, n_lambda_steps=1),
+        )
+        st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+        ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+        st2, _ = filt.step(key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns)
+        assert np.all(np.isfinite(np.asarray(st2.particles)))
+        assert st2.diagnostics["condition_numbers"].shape == (1,)
+
+    def test_high_dimensional_state(self, key):
+        """nx = 16 linear system (reference ``test_high_dimensional_state``)."""
+        nx = 16
+        A = 0.9 * jnp.eye(nx)
+        Q = 0.1 * jnp.eye(nx)
+        R = 0.5 * jnp.eye(nx)
+        LQ = jnp.linalg.cholesky(Q)
+        g = lambda x, u, v: A @ x + v
+        h = lambda x: x
+        jh = lambda x: jnp.eye(nx)
+        lt = lambda xn, xo: mvn_logpdf_chol(xn, A @ xo, LQ)
+        ll = lambda z, x: mvn_logpdf_chol(z, x, jnp.linalg.cholesky(R))
+        ns = lambda k, n, d: jax.random.normal(k, (n, d)) @ LQ.T
+        ekf = ExtendedKalmanFilter(lambda x, u: A @ x, h, Q, R)
+        tracker = GaussianTracker(ekf)
+        filt = LEDHFlowPF(tracker, g, h, jh, lt, ll, R, LEDHConfig(n_particles=32))
+        st = filt.init_from_gaussian(key, jnp.zeros(nx), jnp.eye(nx))
+        ts = tracker.init(jnp.zeros(nx), jnp.eye(nx))
+        st2, _ = filt.step(
+            key, st, ts, 0.3 * jnp.ones(nx), process_noise_sampler=ns
+        )
+        assert st2.particles.shape == (32, nx)
+        assert np.all(np.isfinite(np.asarray(st2.particles)))
+
+    def test_euler_rk4_agree_on_linear(self, key, linear_flow, lgssm_data):
+        """On a linear-Gaussian model the EDH flow is affine in η, so Euler
+        and RK4 integrate the same ODE closely (reference's integrator
+        cross-check)."""
+        g, h, jh, lt, ll, R, tracker, ns = linear_flow
+        means = {}
+        for integ in ("euler", "rk4"):
+            filt = EDHFlowPF(
+                tracker, g, h, jh, lt, ll, R,
+                EDHConfig(n_particles=128, n_lambda_steps=16,
+                          flow_integrator=integ, resample_ess_ratio=0.0),
+            )
+            st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+            ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+            st2, _ = filt.step(
+                key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns
+            )
+            means[integ] = np.asarray(st2.mean)
+        np.testing.assert_allclose(means["euler"], means["rk4"], atol=0.08)

@@ -159,3 +159,151 @@ class TestKPFAnalyze:
         hist = np.asarray(st.ds_history)
         used = hist[: int(st.steps)]
         assert np.all(used >= 0) and used.sum() >= 0.99  # sums to ~s
+
+
+class TestKernelFunctions:
+    """Remaining reference kernel archetypes
+    (``test_kernel_pf_kernels.py``: rbf/scalar/matrix blocks)."""
+
+    def test_rbf_zero_distance(self):
+        K, dK = rbf_1d(jnp.array(0.0), 1.0)
+        assert np.isclose(float(K), 1.0)
+        assert np.isclose(float(dK), 0.0)
+
+    def test_rbf_positive_and_decreasing(self):
+        d = jnp.linspace(0.0, 5.0, 30)
+        K, _ = rbf_1d(d, 1.0)
+        v = np.asarray(K)
+        assert np.all(v > 0)
+        assert np.all(np.diff(v) <= 1e-9)
+
+    def test_rbf_lengthscale_effect(self):
+        d = jnp.array(1.0)
+        K_small, _ = rbf_1d(d, 0.5)
+        K_large, _ = rbf_1d(d, 2.0)
+        assert float(K_large) > float(K_small)
+
+    def test_rbf_derivative_sign(self):
+        _, dK = rbf_1d(jnp.array(0.7), 1.0)
+        assert float(dK) < 0  # decreasing away from the center
+        _, dK_neg = rbf_1d(jnp.array(-0.7), 1.0)
+        assert float(dK_neg) > 0
+
+    def test_scalar_kernel_identical_points(self, key):
+        X = jnp.tile(jax.random.normal(key, (1, 3)), (5, 1))
+        k, grad_k, divK = scalar_kernel_full_matrix(X[0], X, 1.0)
+        np.testing.assert_allclose(np.asarray(k), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(grad_k), 0.0, atol=1e-6)
+
+    def test_scalar_kernel_positive(self, key):
+        X = jax.random.normal(key, (8, 3))
+        k, _, _ = scalar_kernel_full_matrix(X[0], X, 1.0)
+        assert np.all(np.asarray(k) > 0)
+        assert np.all(np.asarray(k) <= 1.0 + 1e-6)
+
+    def test_matrix_kernel_identical_points(self, key):
+        X = jnp.tile(jax.random.normal(key, (1, 4)), (6, 1))
+        K, divK = matrix_kernel_and_divergence(X[0], X, jnp.ones(4))
+        np.testing.assert_allclose(np.asarray(K), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(divK), 0.0, atol=1e-6)
+
+    def test_matrix_kernel_positive_bounded(self, key):
+        X = jax.random.normal(key, (8, 4))
+        K, _ = matrix_kernel_and_divergence(X[0], X, jnp.ones(4))
+        v = np.asarray(K)
+        assert np.all(v > 0) and np.all(v <= 1.0 + 1e-6)
+
+    def test_matrix_kernel_lengthscale_anisotropy(self, key):
+        """A longer per-dim lengthscale keeps that dimension's kernel closer
+        to 1 (reference ``test_matrix_kernel_different_lengthscales``)."""
+        x = jnp.zeros(2)
+        ens = jnp.array([[1.0, 1.0]])
+        K, _ = matrix_kernel_and_divergence(x, ens, jnp.array([0.5, 5.0]))
+        assert float(K[0, 1]) > float(K[0, 0])
+
+
+class TestLocalizationMatrix:
+    def test_symmetric_diag_ones_in_range(self):
+        L = np.asarray(build_localization_matrix(12, 3.0))
+        np.testing.assert_allclose(L, L.T, atol=1e-7)
+        np.testing.assert_allclose(np.diag(L), 1.0, rtol=1e-6)
+        # f32 evaluation of the GC polynomial dips ~1e-7 below zero at the
+        # support boundary — nonnegative up to rounding.
+        assert L.min() >= -1e-6 and L.max() <= 1.0 + 1e-6
+
+    def test_compact_support_radius(self):
+        L = np.asarray(build_localization_matrix(20, 2.0))
+        # entries farther than 2·radius in index distance are exactly 0
+        assert L[0, 10] == 0.0
+        assert L[0, 1] > 0.0
+
+
+class TestKPFAPI:
+    """Reference ``test_kernel_pf_shapes_and_api.py`` archetypes."""
+
+    def _setup(self, key, n=3, Np=40):
+        H = jnp.eye(n)
+        model = Model(H=lambda x: x, JH=lambda x: H, R=0.25 * jnp.eye(n))
+        X = jax.random.normal(key, (Np, n))
+        y = 0.5 * jnp.ones(n)
+        return model, X, y
+
+    def test_config_defaults_and_custom(self):
+        cfg = KPFConfig()
+        assert cfg.ds_init == 0.2 and cfg.kernel_type == "diagonal"
+        cfg2 = KPFConfig(ds_init=0.1, max_steps=7, kernel_type="scalar")
+        assert cfg2.max_steps == 7 and cfg2.kernel_type == "scalar"
+
+    def test_mean_and_cov(self, key):
+        X = jax.random.normal(key, (2000, 3))
+        mu, B = KernelParticleFilter.mean_and_cov(X)
+        np.testing.assert_allclose(np.asarray(mu), 0.0, atol=0.1)
+        np.testing.assert_allclose(np.asarray(B), np.eye(3), atol=0.15)
+
+    def test_mean_and_cov_regularized(self, key):
+        X = jnp.zeros((5, 3))  # degenerate cloud
+        _, B = KernelParticleFilter.mean_and_cov(X, reg=1e-3)
+        assert np.linalg.eigvalsh(np.asarray(B, np.float64)).min() >= 1e-4
+
+    def test_analyze_respects_min_steps(self, key):
+        model, X, y = self._setup(key)
+        kpf = KernelParticleFilter(model, KPFConfig(ds_init=0.5, min_steps=4))
+        st = kpf.analyze(X, y)
+        assert int(st.steps) >= 4
+
+    def test_analyze_respects_max_steps(self, key):
+        model, X, y = self._setup(key)
+        kpf = KernelParticleFilter(
+            model, KPFConfig(ds_init=1e-4, min_steps=1, max_steps=6)
+        )
+        st = kpf.analyze(X, y)
+        assert int(st.steps) <= 6
+
+    def test_analyze_custom_lengthscales(self, key):
+        model, X, y = self._setup(key)
+        kpf = KernelParticleFilter(model, KPFConfig())
+        st = kpf.analyze(X, y, lengthscales=0.7 * jnp.ones(3))
+        assert np.all(np.isfinite(np.asarray(st.particles)))
+        assert np.isclose(float(st.s), 1.0, atol=1e-5)
+
+    def test_analyze_deterministic(self, key):
+        model, X, y = self._setup(key)
+        kpf = KernelParticleFilter(model, KPFConfig())
+        a = kpf.analyze(X, y)
+        b = kpf.analyze(X, y)
+        np.testing.assert_array_equal(
+            np.asarray(a.particles), np.asarray(b.particles)
+        )
+
+    def test_weights_uniform(self, key):
+        model, X, y = self._setup(key)
+        st = KernelParticleFilter(model, KPFConfig()).analyze(X, y)
+        np.testing.assert_allclose(np.asarray(st.weights), 1.0 / 40, rtol=1e-6)
+
+    def test_particles_move_toward_observation(self, key):
+        model, X, y = self._setup(key)
+        X_far = X + 4.0  # prior far from y
+        st = KernelParticleFilter(model, KPFConfig()).analyze(X_far, y)
+        d_before = float(jnp.linalg.norm(jnp.mean(X_far, axis=0) - y))
+        d_after = float(jnp.linalg.norm(jnp.mean(st.particles, axis=0) - y))
+        assert d_after < d_before

@@ -196,3 +196,68 @@ class TestLogEvidence:
         # dropped constant: −T/2·(ny·log2π + log|R|)
         const = -T / 2 * (2 * np.log(2 * np.pi) + np.linalg.slogdet(np.asarray(s["R"], np.float64))[1])
         assert abs((pf_ll + const) - float(kf.loglik)) < 0.03 * abs(float(kf.loglik)) + 3.0
+
+
+class TestDegeneracyTracking:
+    """``run(track_degeneracy=True)`` — the per-step panel of
+    ``notebooks/particle_filter_NLNGSSM.ipynb`` phase 1, computed inside the
+    scan."""
+
+    def test_history_keys_and_ranges(self, key, linear_pf):
+        st = linear_pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        zs = 0.3 * jnp.ones((25, 1))
+        _, hist = linear_pf.run(
+            jax.random.fold_in(key, 3), st, zs, track_degeneracy=True
+        )
+        for k in ("entropy", "gini", "max_weight", "unique_frac"):
+            assert hist[k].shape == (25,)
+            assert np.all(np.isfinite(np.asarray(hist[k])))
+        assert np.all(np.asarray(hist["entropy"]) >= 0.0)
+        assert np.all(np.asarray(hist["entropy"]) <= 1.0 + 1e-5)
+        assert np.all(np.asarray(hist["max_weight"]) > 0.0)
+        assert np.all(np.asarray(hist["max_weight"]) <= 1.0 + 1e-5)
+
+    def test_unique_frac_one_without_resample(self, key, linear_pf):
+        st = linear_pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        zs = 0.3 * jnp.ones((25, 1))
+        _, hist = linear_pf.run(
+            jax.random.fold_in(key, 3), st, zs, track_degeneracy=True
+        )
+        no_resample = ~np.asarray(hist["resampled"])
+        np.testing.assert_array_equal(
+            np.asarray(hist["unique_frac"])[no_resample], 1.0
+        )
+        # on resample steps some ancestors are dropped
+        if np.any(np.asarray(hist["resampled"])):
+            resampled = np.asarray(hist["unique_frac"])[np.asarray(hist["resampled"])]
+            assert np.all(resampled <= 1.0)
+
+    def test_matches_untracked_run(self, key, linear_pf):
+        """Tracking is pure observation: means/ess identical with it on/off."""
+        st = linear_pf.initialize(key, np.zeros(1, np.float32), np.eye(1, dtype=np.float32))
+        zs = 0.3 * jnp.ones((10, 1))
+        k = jax.random.fold_in(key, 4)
+        _, h0 = linear_pf.run(k, st, zs)
+        _, h1 = linear_pf.run(k, st, zs, track_degeneracy=True)
+        np.testing.assert_allclose(
+            np.asarray(h0["mean"]), np.asarray(h1["mean"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(h0["ess"]), np.asarray(h1["ess"]), rtol=1e-6
+        )
+
+    def test_rejects_sharded(self):
+        Q = np.array([[0.05]], np.float32)
+        R = np.array([[0.1]], np.float32)
+        pf = ParticleFilter(
+            lambda x, u: 0.9 * x, lambda x: x, Q, R, Np=64, axis_name="particles"
+        )
+        st_shape = jnp.zeros((64, 1))
+        with pytest.raises(ValueError, match="track_degeneracy"):
+            pf.run(
+                jax.random.PRNGKey(0),
+                # a state built by hand is fine: run() must raise before tracing
+                pf.initialize(jax.random.PRNGKey(1), np.zeros(1, np.float32), np.eye(1, dtype=np.float32)),
+                jnp.zeros((3, 1)),
+                track_degeneracy=True,
+            )

@@ -333,3 +333,37 @@ class TestOTBlockwise:
 
         g = jax.grad(loss)(p)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestSystematicCounts:
+    """``systematic_counts`` must agree with ``systematic_resample`` exactly:
+    same key ⇒ the counts are the ancestor-index bincount (they share the
+    inverse-CDF convention — see CLAUDE.md design invariants)."""
+
+    def test_matches_ancestor_bincount(self, key):
+        from particle_filters_tpu.resampling.hard import systematic_counts
+
+        n = 128
+        lw = jax.random.normal(key, (n,)) * 2.0
+        idx = systematic_resample(key, logw=lw)
+        counts = systematic_counts(key, logw=lw)
+        np.testing.assert_array_equal(
+            np.asarray(counts), np.bincount(np.asarray(idx), minlength=n)
+        )
+
+    def test_sum_is_n(self, key):
+        from particle_filters_tpu.resampling.hard import systematic_counts
+
+        for n in (1, 7, 64):
+            w = jax.nn.softmax(jax.random.normal(jax.random.fold_in(key, n), (n,)))
+            counts = systematic_counts(key, w)
+            assert int(jnp.sum(counts)) == n
+
+    def test_point_mass(self, key):
+        from particle_filters_tpu.resampling.hard import systematic_counts
+
+        n = 32
+        w = jnp.zeros((n,)).at[5].set(1.0)
+        counts = systematic_counts(key, w)
+        assert int(counts[5]) == n
+        assert int(jnp.sum(counts)) == n

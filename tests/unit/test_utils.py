@@ -127,3 +127,74 @@ class TestManualRunner:
         )
         assert out.returncode == 0
         assert "PASSED" in out.stdout
+
+
+class TestDegeneracyMetrics:
+    """Degeneracy panel of ``notebooks/particle_filter_NLNGSSM.ipynb``:
+    entropy / Gini / max-weight / unique fraction on log-weights."""
+
+    def test_entropy_uniform_is_one(self):
+        from particle_filters_tpu.utils import weight_entropy
+
+        lw = jnp.zeros((64,))  # uniform in log domain up to a constant
+        assert np.isclose(float(weight_entropy(lw)), 1.0, atol=1e-6)
+
+    def test_entropy_point_mass_is_zero(self):
+        from particle_filters_tpu.utils import weight_entropy
+
+        lw = jnp.full((64,), -1e9).at[3].set(0.0)
+        assert float(weight_entropy(lw)) < 1e-6
+
+    def test_entropy_unnormalized_option(self):
+        from particle_filters_tpu.utils import weight_entropy
+
+        lw = jnp.zeros((64,))
+        assert np.isclose(
+            float(weight_entropy(lw, normalized=False)), np.log(64), atol=1e-5
+        )
+
+    def test_gini_bounds(self, key):
+        from particle_filters_tpu.utils import weight_gini
+
+        uniform = jnp.zeros((128,))
+        assert abs(float(weight_gini(uniform))) < 1e-5
+        point = jnp.full((128,), -1e9).at[0].set(0.0)
+        # point mass: G → (N−1)/N
+        assert np.isclose(float(weight_gini(point)), 127 / 128, atol=1e-4)
+        random = jax.random.normal(key, (128,))
+        g = float(weight_gini(random))
+        assert 0.0 < g < 1.0
+
+    def test_max_weight(self):
+        from particle_filters_tpu.utils import max_weight
+
+        lw = jnp.log(jnp.array([0.7, 0.2, 0.1]))
+        assert np.isclose(float(max_weight(lw)), 0.7, atol=1e-6)
+
+    def test_unique_fraction(self):
+        from particle_filters_tpu.utils import unique_fraction
+
+        a = jnp.array([0, 0, 0, 3], jnp.int32)
+        assert np.isclose(float(unique_fraction(a)), 0.5)
+        assert np.isclose(float(unique_fraction(jnp.arange(8))), 1.0)
+
+    def test_degeneracy_report_consistent_with_ess(self, key):
+        from particle_filters_tpu.core.weights import ess_from_logw
+        from particle_filters_tpu.utils import degeneracy_report
+
+        lw = jax.random.normal(key, (10, 64))
+        rep = degeneracy_report(lw)
+        assert set(rep) == {"ess", "entropy", "gini", "max_weight"}
+        for v in rep.values():
+            assert v.shape == (10,)
+        ess_direct = jax.vmap(ess_from_logw)(lw)
+        np.testing.assert_allclose(
+            np.asarray(rep["ess"]), np.asarray(ess_direct), rtol=1e-5
+        )
+
+    def test_batched_entropy_gini(self, key):
+        from particle_filters_tpu.utils import weight_entropy, weight_gini
+
+        lw = jax.random.normal(key, (5, 32))
+        assert weight_entropy(lw).shape == (5,)
+        assert weight_gini(lw).shape == (5,)
