@@ -76,14 +76,29 @@ def _fused_kernel(
     pltpu.prng_seed(seed_ref[0, 0], b)
 
     shape = p_ref[:, :].shape  # (rows, B) — rows = 8 for nx=1, else nx
-    u1 = _bits_to_unit_open(
-        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    )
-    u2 = _bits_to_unit_open(
-        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    )
-    # Box-Muller: one normal per pair of uniforms
-    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    if shape[1] % 256 == 0:
+        # Full Box-Muller: each (u1, u2) pair yields TWO independent
+        # normals (r·cos, r·sin) — half the PRNG draws, logs and sqrts of
+        # the cos-only form. Split along lanes so both halves stay
+        # 128-lane aligned.
+        half = (shape[0], shape[1] // 2)
+        u1 = _bits_to_unit_open(
+            pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+        )
+        u2 = _bits_to_unit_open(
+            pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+        )
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = _TWO_PI * u2
+        eps = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+    else:
+        u1 = _bits_to_unit_open(
+            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        )
+        u2 = _bits_to_unit_open(
+            pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        )
+        eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
     x = p_ref[:, :]
     x_new = g_vec(x)
