@@ -26,6 +26,12 @@ import numpy as np
 BASELINE_PARTICLE_STEPS_PER_SEC = 2.0e5  # reference CPU SIR PF (BASELINE.md)
 
 
+def _timed_scalar(thunk) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     from particle_filters_tpu.simulators.stochastic_volatility import simulate_sv_1d
 
@@ -81,17 +87,28 @@ def main() -> None:
         run = jax.jit(lambda k, s: pf.run(k, s, zs))
         keys = [jax.random.key(2 + i, impl="rbg") for i in range(4)]
 
-    # Compile + warm up.
+    # Compile + warm up. Synchronize through a scalar host transfer: on
+    # tunneled TPU backends `block_until_ready` can return before the
+    # computation finishes (async relay), which would make wall-clock
+    # timing measure only dispatch.
     final, hist = run(keys[0], state0)
-    jax.block_until_ready(hist["mean"])
+    float(hist["mean"][0, 0])
 
-    # Timed runs.
+    # RPC/transfer floor for the scalar sync itself.
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(trivial(jnp.float32(0)))
+    rpc = min(
+        _timed_scalar(lambda: float(trivial(jnp.float32(i))))
+        for i in range(3)
+    )
+
+    # Timed runs (scalar-sync per run; subtract the sync floor).
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         final, hist = run(keys[1 + i], state0)
-        jax.block_until_ready(hist["mean"])
-        times.append(time.perf_counter() - t0)
+        float(hist["mean"][0, 0])
+        times.append(time.perf_counter() - t0 - rpc)
     best = min(times)
 
     particle_steps_per_sec = n_particles * n_steps / best

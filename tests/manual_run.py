@@ -21,23 +21,51 @@ PHASES = {
     "core": ["tests/unit/test_core.py"],
     "resampling": ["tests/unit/test_resampling.py"],
     "sim": ["tests/unit/test_simulators.py"],
-    "kf": ["tests/unit/test_classical_filters.py::TestKF"],
-    "ekf": ["tests/unit/test_classical_filters.py::TestEKF"],
-    "ukf": ["tests/unit/test_classical_filters.py::TestUKF"],
-    "pf": ["tests/unit/test_particle_filter.py"],
+    "kf": [
+        "tests/unit/test_classical_filters.py::TestKF",
+        "tests/unit/test_classical_filters_api.py::TestKFEdges",
+        "tests/integration/test_kf_timevarying.py",
+    ],
+    "ekf": [
+        "tests/unit/test_classical_filters.py::TestEKF",
+        "tests/unit/test_classical_filters_api.py::TestEKFShapesAPI",
+        "tests/unit/test_classical_filters_api.py::TestEKFInnovationAndGains",
+        "tests/integration/test_ekf_vs_sv.py",
+    ],
+    "ukf": [
+        "tests/unit/test_classical_filters.py::TestUKF",
+        "tests/unit/test_classical_filters_api.py::TestUKFSigmaPointsAndWeights",
+        "tests/unit/test_classical_filters_api.py::TestUKFShapesAPI",
+        "tests/integration/test_ukf_vs_sv.py",
+    ],
+    "pf": [
+        "tests/unit/test_particle_filter.py",
+        "tests/unit/test_fused_pf.py",
+    ],
     "flows": [
         "tests/unit/test_flow_filters.py",
+        "tests/unit/test_flow_filters_extra.py",
         "tests/unit/test_ledh_woodbury.py",
     ],
     "trackers": ["tests/unit/test_trackers.py"],
-    "kpf": ["tests/unit/test_kpf.py"],
+    "kpf": [
+        "tests/unit/test_kpf.py",
+        "tests/integration/test_kpf_vs_lgssm.py",
+    ],
     "spf": [
         "tests/unit/test_spf.py",
+        "tests/unit/test_spf_api.py",
         "tests/unit/test_spf_condition_number.py",
+        "tests/integration/test_spf_vs_kalman_posterior.py",
     ],
     "dpf": [
         "tests/unit/test_dpf.py",
+        "tests/unit/test_dpf_api.py",
         "tests/unit/test_grad_checks.py",
+        "tests/integration/test_dpf_soft_vs_lgssm.py",
+        "tests/integration/test_dpf_ot_vs_lgssm.py",
+        "tests/integration/test_dpf_rnn_vs_lgssm.py",
+        "tests/integration/test_dpf_rnn_training.py",
     ],
     "sharding": [
         "tests/unit/test_sharding.py",
@@ -52,21 +80,26 @@ PHASES = {
     ],
     "lorenz": [
         "tests/unit/test_simulators.py::TestLorenz96",
+        "tests/unit/test_lorenz96_simulator.py",
         "tests/integration/test_kpf_lorenz96.py",
     ],
     "snlg": [
         "tests/unit/test_simulators.py::TestSNLG",
+        "tests/unit/test_snlg_simulator.py",
         "tests/integration/test_filters_snlg.py",
     ],
     "skewt": [
         "tests/unit/test_simulators.py::TestSkewT",
         "tests/unit/test_skewt_simulator.py",
+        "tests/unit/test_skewt_io_and_configs.py",
         "tests/integration/test_filters_skewt.py",
     ],
     "mat": [
         "tests/unit/test_simulators.py::TestMAT",
+        "tests/unit/test_mat_simulator.py",
         "tests/integration/test_filters_mat.py",
     ],
+    "parity": ["tests/parity/test_vs_reference.py"],
     "all": ["tests"],
 }
 
