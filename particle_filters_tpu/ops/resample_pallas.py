@@ -5,36 +5,38 @@ Problem: systematic resampling needs ``out[i] = p[j(i)]`` with
 *sorted* child-run start positions (reference semantics:
 ``models/particle_filter.py:146-171``, an O(N) sequential CDF walk).
 
-On TPU v5e, XLA lowers every irregular memory op to ~0.1-0.4 µs *per
-element/row*: a 1e6-element ancestor gather ≈ 7 ms, scatter+cumsum ≈ 9 ms,
-searchsorted+gather ≈ 140 ms, even a B=8k-row base gather ≈ 3 ms. This
-kernel removes all of them except ONE chunk-row gather:
+On TPU v5e, XLA lowers every irregular memory op to serial loops: a
+1e6-element ancestor gather ≈ 7 ms, scatter+cumsum ≈ 9 ms (slope-timed),
+searchsorted+gather ≈ 140 ms. This module removes all of them except ONE
+regular row gather:
 
-1.  Outputs are split into B = N/K blocks of K consecutive positions;
-    ancestors are non-decreasing in i, so block b's ancestors occupy a
-    contiguous window of particle indices.
-2.  The window's first CHUNK m_b (chunk = c consecutive ancestors) is
-    located without searchsorted: rank bK among the chunk-leading starts
-    ``sc_m = start_{m·c}`` with a dense (B × M) compare-and-sum — a few
-    million VPU ops, not B·log N serial gathers.
-3.  One row gather fetches per block nw consecutive rows of a "mega-chunk"
-    array [starts (c) | particle diffs (c·d) | chunk base p_{m·c−1} (d)]
-    — everything the kernel needs rides a single chunk-granular gather.
-4.  The Pallas kernel computes, per output block,
-        C[k, w] = (s_win[w] ≤ bK + k)        (VPU compare)
-        out[k]  = Σ_w C[k, w] · d_win[w]     (VPU/MXU contraction)
+1.  Outputs are split into SUB-GROUPS of S = 128 consecutive positions.
+    Each ancestor is consumed exactly once globally, so a sub-group
+    consumes ~S ancestors on average; its ancestors almost always lie
+    within Q = 4 consecutive FINE CHUNKS of 128 particles.
+2.  The fine chunk of each sub-group's first ancestor is found without
+    searchsorted: rank its first output position among the fine-chunk
+    leading starts with a dense compare-and-sum (VPU ops, no serial
+    gathers). The same ranking at the sub-group's last REAL position
+    detects span overflow exactly.
+3.  One row gather fetches the Q fine-chunk rows of a mega array
+    [starts (128) | particle diffs (128·d) | chunk base p_{m·128−1} (d)]
+    per sub-group.
+4.  The Pallas kernel computes, per sub-group,
+        C[k, w] = (s_win[w] ≤ k)            (128 × Q·128 VPU compare)
+        out[k]  = Σ_w C[k, w] · d_win[w]    (VPU multiply-reduce)
     with d_w = p_w − p_{w−1}: C selects the prefix of diffs up to the
-    active ancestor, which telescopes to ``p[j(bK+k)] − p[m_b·c − 1]``
-    exactly. No per-element mask or exact lo_b is needed — telescoping from
-    the chunk boundary absorbs the alignment slack.
-5.  The chunk base ``p[m_b·c − 1]`` is added back with broadcast+reshape
-    (pure relayout — ``jnp.repeat`` would be another 9 ms gather).
-6.  Degenerate-weight overflow (a block whose ancestor span exceeds the
-    window) is detected exactly up front; the whole resample then falls
-    back to the XLA scatter+cumsum telescoping path under ``lax.cond``.
+    active ancestor, which telescopes to ``p[j(k)] − p[a₀·128 − 1]``
+    exactly. The chunk base is added back with a broadcast+reshape.
+5.  If ANY sub-group's ancestor span exceeds Q fine chunks (extreme local
+    weight degeneracy — needs a ~384-ancestor run of near-zero weights
+    inside one sub-group), the whole resample takes the exact XLA
+    scatter+cumsum fallback instead. Same starts ⇒ identical ancestry.
 
-Measured at N=1e6, d=1: ~2-3 ms vs ~9 ms (XLA scatter) / ~140 ms
-(searchsorted+gather) inside a ``lax.scan``.
+Per-output work is S×(Q·128) compare+mac = 512 ops — half the earlier
+block-dense variant (window 1024) and with no in-kernel index logic.
+Measured at N=2^20, d=1: ~1.7 ms vs ~2.8 ms (block-dense Pallas) / ~9 ms
+(XLA scatter) inside a ``lax.scan``.
 """
 
 from __future__ import annotations
@@ -51,67 +53,53 @@ from jax.experimental.pallas import tpu as pltpu
 from particle_filters_tpu.core.weights import log_normalize
 from particle_filters_tpu.resampling.hard import _systematic_starts
 
-_GROUP = 16  # output blocks per pallas grid step (amortizes ~750 ns/step)
+_SUB = 128  # outputs per sub-group (= fine chunk width = lane width)
+_QROWS = 4  # fine-chunk rows gathered per sub-group
+_SG = 64  # sub-groups per pallas grid step
 
 
 def _resample_kernel(
-    s_win_ref,  # (1, G, W) f32 VMEM: window start positions (exact ints)
-    d_win_ref,  # (1, G, d, W) f32 VMEM: window particle diffs (lane-major)
-    out_ref,  # (1, d, G*K) f32 VMEM output blocks (lane-major positions)
+    s_win_ref,  # (1, SG, Q*128) f32 VMEM: per-sub window starts
+    d_win_ref,  # (1, SG, d, Q*128) f32 VMEM: per-sub window diffs
+    out_ref,  # (1, d, SG*128) f32 VMEM: output positions (lane-major)
     *,
-    block_k: int,
-    window: int,
+    d_dim: int,
 ):
     sup = pl.program_id(0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0).astype(
+        jnp.float32
+    )
 
-    def one_block(g, _):
-        b = sup * _GROUP + g
-        pos = (
-            (b * block_k)
-            + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), dimension=0)
-        ).astype(jnp.float32)  # (K, 1) global positions (exact in f32 < 2^24)
-        s = s_win_ref[0, g, :][None, :]  # (1, W)
-        C = (s <= pos).astype(jnp.float32)  # (K, W)
-        d_blk = d_win_ref[0, g, :, :]  # (d, W)
-        d_dim = d_blk.shape[0]
-        if d_dim < 8:
-            # VPU multiply-reduce — thousands of tiny MXU dots would pay
-            # ~µs issue overhead each.
-            acc = jnp.sum(d_blk[:, None, :] * C[None, :, :], axis=-1)
-        else:
-            # precision=HIGHEST: default bf16 MXU passes would round the
-            # particle values.
-            acc = jax.lax.dot_general(
-                d_blk,
-                C,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        out_ref[0, :, pl.ds(g * block_k, block_k)] = acc
+    def one_sub(i, _):
+        k0 = ((sup * _SG + i) * _SUB).astype(jnp.float32)
+        pos = k0 + iota_s  # (128, 1) global positions (exact in f32 < 2^24)
+        s = s_win_ref[0, pl.ds(i, 1), :]  # (1, Q*128)
+        C = (s <= pos).astype(jnp.float32)  # (128, Q*128)
+        d_blk = d_win_ref[0, i]  # (d, Q*128)
+        rows = []
+        for dim in range(d_dim):
+            dl = d_blk[dim : dim + 1]  # (1, Q*128)
+            rows.append(jnp.sum(C * dl, axis=1, keepdims=True).T)  # (1, 128)
+        acc = jnp.concatenate(rows, axis=0) if d_dim > 1 else rows[0]
+        out_ref[0, :, pl.ds(i * _SUB, _SUB)] = acc
         return 0
 
-    jax.lax.fori_loop(0, _GROUP, one_block, 0)
+    jax.lax.fori_loop(0, _SG, one_sub, 0)
 
 
-def _blocked_pallas_path(starts, particles, chunk_of_block, n, block_k, window, chunk):
-    """One chunk-row gather + Pallas compare/telescope kernel."""
-    num_blocks = -(-n // block_k)
-    num_super = -(-num_blocks // _GROUP)
-    num_blocks_pad = num_super * _GROUP
+def _blocked_pallas_path(starts, particles, a0, n, n_subs_pad):
+    """One Q-row gather per sub-group + the dense per-sub Pallas kernel."""
+    num_super = n_subs_pad // _SG
     d = particles.shape[1]
-    nw = window // chunk
-    assert window % chunk == 0
 
-    # --- build the mega-chunk array: [starts | diffs | chunk base] -------
-    n_chunks = -(-n // chunk)
-    n_chunks_ext = n_chunks + nw  # sentinel chunks past the end
-    n_ext = n_chunks_ext * chunk
-    big = jnp.float32(n + block_k * num_blocks_pad + 1)
-    # starts as f32 (exact for N < 2^24), sentinel-padded
+    # --- fine-chunk mega array: [starts | diffs | chunk base] ------------
+    n_fc = -(-n // _SUB)
+    n_fc_ext = n_fc + _QROWS  # sentinel chunks past the end
+    n_ext = n_fc_ext * _SUB
+    big = jnp.float32(n_subs_pad * _SUB + 256)
     starts_f = jnp.concatenate(
         [starts.astype(jnp.float32), jnp.full((n_ext - n,), big, jnp.float32)]
-    ).reshape(n_chunks_ext, chunk)
+    ).reshape(n_fc_ext, _SUB)
     prev = jnp.concatenate(
         [jnp.zeros_like(particles[:1]), particles[:-1]], axis=0
     )
@@ -120,63 +108,62 @@ def _blocked_pallas_path(starts, particles, chunk_of_block, n, block_k, window, 
             (particles - prev).astype(jnp.float32),
             jnp.zeros((n_ext - n, d), jnp.float32),
         ]
-    ).reshape(n_chunks_ext, chunk * d)
-    # chunk base p_{m·c−1} (0 for m = 0): last row of the previous chunk.
+    ).reshape(n_fc_ext, _SUB * d)
     p_pad = jnp.concatenate(
         [particles.astype(jnp.float32), jnp.zeros((n_ext - n, d), jnp.float32)]
-    ).reshape(n_chunks_ext, chunk, d)
+    ).reshape(n_fc_ext, _SUB, d)
     chunk_base = jnp.concatenate(
-        [jnp.zeros((1, d), jnp.float32), p_pad[:-1, chunk - 1, :]], axis=0
-    )  # (n_chunks_ext, d)
+        [jnp.zeros((1, d), jnp.float32), p_pad[:-1, _SUB - 1, :]], axis=0
+    )  # (n_fc_ext, d) = p[m·128 − 1]
     mega = jnp.concatenate([starts_f, diffs, chunk_base], axis=1)
 
-    # --- THE gather: nw consecutive mega rows per block ------------------
-    pad_b = num_blocks_pad - num_blocks
-    m_b = jnp.concatenate([chunk_of_block, jnp.zeros((pad_b,), jnp.int32)])
+    # --- THE gather: Q consecutive mega rows per sub-group ---------------
     row_idx = (
-        m_b[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :]
+        a0[:, None] + jnp.arange(_QROWS, dtype=jnp.int32)[None, :]
     ).reshape(-1)
     g_all = jnp.take(mega, row_idx, axis=0).reshape(
-        num_blocks_pad, nw, chunk * (1 + d) + d
+        n_subs_pad, _QROWS, _SUB * (1 + d) + d
     )
 
     # --- static-slice the gathered rows back apart (no gathers) ----------
-    s_win = g_all[:, :, :chunk].reshape(num_super, _GROUP, window)
+    s_win = g_all[:, :, :_SUB].reshape(num_super, _SG, _QROWS * _SUB)
     d_win = (
-        g_all[:, :, chunk : chunk * (1 + d)]
-        .reshape(num_blocks_pad, window, d)
-        .transpose(0, 2, 1)  # lane-major (…, d, W)
-        .reshape(num_super, _GROUP, d, window)
+        g_all[:, :, _SUB : _SUB * (1 + d)]
+        .reshape(n_subs_pad, _QROWS * _SUB, d)
+        .transpose(0, 2, 1)  # (…, d, Q·128)
+        .reshape(num_super, _SG, d, _QROWS * _SUB)
     )
-    bases = g_all[:, 0, chunk * (1 + d) :]  # (B_pad, d) = p[m_b·c − 1]
+    bases = g_all[:, 0, _SUB * (1 + d) :]  # (n_subs_pad, d)
 
     out = pl.pallas_call(
-        functools.partial(_resample_kernel, block_k=block_k, window=window),
+        functools.partial(_resample_kernel, d_dim=d),
         grid=(num_super,),
         in_specs=[
             pl.BlockSpec(
-                (1, _GROUP, window), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+                (1, _SG, _QROWS * _SUB),
+                lambda s: (s, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, _GROUP, d, window),
+                (1, _SG, d, _QROWS * _SUB),
                 lambda s: (s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, d, _GROUP * block_k), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+            (1, d, _SG * _SUB), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (num_super, d, _GROUP * block_k), jnp.float32
+            (num_super, d, _SG * _SUB), jnp.float32
         ),
     )(s_win, d_win)
 
-    # (S, d, G·K) → (N_pad, d); add back the chunk base via broadcast +
+    # (S, d, SG·128) → (N_pad, d); add back the chunk base via broadcast +
     # reshape (relayout only — jnp.repeat would be a ~9 ms gather).
-    out = out.transpose(0, 2, 1).reshape(num_blocks_pad * block_k, d)
+    out = out.transpose(0, 2, 1).reshape(n_subs_pad * _SUB, d)
     base_bc = jnp.broadcast_to(
-        bases[:, None, :], (num_blocks_pad, block_k, d)
-    ).reshape(num_blocks_pad * block_k, d)
+        bases[:, None, :], (n_subs_pad, _SUB, d)
+    ).reshape(n_subs_pad * _SUB, d)
     return (out + base_bc)[:n].astype(particles.dtype)
 
 
@@ -186,16 +173,14 @@ def systematic_resample_values_blocked(
     *,
     logw: Optional[jax.Array] = None,
     w: Optional[jax.Array] = None,
-    block_k: int = 512,
-    window: int = 1024,
-    chunk: int = 256,
 ) -> jax.Array:
     """Systematic resampling of (N, d) particle values, Pallas fast path.
 
     Exact: same ancestry (same u, same inverse-CDF convention) as
-    ``resampling.hard.systematic_resample``. Blocks whose ancestor span
-    exceeds the window (extreme weight degeneracy) are detected exactly and
-    the whole resample falls back to the XLA scatter+cumsum path.
+    ``resampling.hard.systematic_resample``. Sub-groups whose ancestor span
+    exceeds the Q-row window (extreme weight degeneracy) are detected
+    exactly and the whole resample falls back to the XLA scatter+cumsum
+    path.
     """
     if (w is None) == (logw is None):
         raise ValueError("Pass exactly one of w= or logw=.")
@@ -208,35 +193,29 @@ def systematic_resample_values_blocked(
     n, d = particles.shape
     starts = _systematic_starts(key, weights, n)  # (N,) int32 sorted
 
-    num_blocks = -(-n // block_k)
-    n_chunks = -(-n // chunk)
+    n_fc = -(-n // _SUB)
+    n_subs = -(-n // _SUB)
+    n_subs_pad = -(-n_subs // _SG) * _SG
 
-    # Chunk-leading starts sc_m = start_{m·c}: a strided static slice.
-    pad = n_chunks * chunk - n
-    starts_pad = jnp.concatenate(
-        [starts, jnp.full((pad,), jnp.int32(2**30))]
-    )
-    sc = starts_pad.reshape(n_chunks, chunk)[:, 0]  # (M,)
+    # Fine-chunk leading starts scf_m = start_{m·128}: a strided slice.
+    pad = n_fc * _SUB - n
+    starts_pad = jnp.concatenate([starts, jnp.full((pad,), jnp.int32(2**30))])
+    scf = starts_pad.reshape(n_fc, _SUB)[:, 0]  # (n_fc,)
 
-    # Rank block boundaries among sc by dense compare-and-sum (B × M ops on
-    # the VPU — replaces searchsorted's ~µs/query serial binary search).
-    boundaries = (
-        jnp.arange(num_blocks, dtype=jnp.int32) * block_k
-    )  # (B,)
-    cmp = (sc[None, :] <= boundaries[:, None]).astype(jnp.int32)  # (B, M)
-    m_b = jnp.maximum(jnp.sum(cmp, axis=1) - 1, 0)  # chunk of j(bK)
-    # Chunk of the block's LAST ancestor j(bK + K − 1): window [m_b, m_b+nw)
-    # must contain it.
-    cmp_hi = (sc[None, :] <= (boundaries + (block_k - 1))[:, None]).astype(
-        jnp.int32
-    )
-    m_hi = jnp.maximum(jnp.sum(cmp_hi, axis=1) - 1, 0)
-    overflow = jnp.max(m_hi - m_b) >= (window // chunk)
+    # Rank every sub-group boundary among scf by dense compare-and-sum
+    # (n_subs × n_fc VPU ops — replaces searchsorted's serial binary
+    # search). a0 = fine chunk of the sub-group's first ancestor; the same
+    # rank at its last REAL output position detects span overflow exactly.
+    k0 = jnp.arange(n_subs_pad, dtype=jnp.int32) * _SUB  # (n_subs_pad,)
+    cmp_lo = (scf[None, :] <= k0[:, None]).astype(jnp.int32)
+    a0 = jnp.maximum(jnp.sum(cmp_lo, axis=1) - 1, 0)
+    probe = jnp.minimum(k0 + (_SUB - 1), n - 1)
+    cmp_hi = (scf[None, :] <= probe[:, None]).astype(jnp.int32)
+    a_hi = jnp.sum(cmp_hi, axis=1) - 1
+    overflow = jnp.max(a_hi - a0) >= _QROWS
 
     def fast(_):
-        return _blocked_pallas_path(
-            starts, particles, m_b, n, block_k, window, chunk
-        )
+        return _blocked_pallas_path(starts, particles, a0, n, n_subs_pad)
 
     def slow(_):
         # Same starts → identical ancestry; XLA scatter+cumsum telescoping.

@@ -367,3 +367,59 @@ class TestSystematicCounts:
         counts = systematic_counts(key, w)
         assert int(counts[5]) == n
         assert int(jnp.sum(counts)) == n
+
+
+class TestBlockedPallasResample:
+    """Hierarchical blocked kernel (interpret mode) == reference ancestry.
+
+    The real kernel is exercised on TPU by ``tpu_tests/``; here the same
+    code runs under ``pltpu.force_tpu_interpret_mode`` so the Q-row
+    sub-group selection, the per-sub overflow flag, and the XLA fallback
+    routing are all checked on CPU.
+    """
+
+    def _run(self, key, n, d, scale):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from particle_filters_tpu.ops.resample_pallas import (
+            systematic_resample_values_blocked,
+        )
+        from particle_filters_tpu.resampling.hard import systematic_resample
+
+        w = jax.nn.softmax(jax.random.normal(key, (n,)) * scale)
+        p = jax.random.normal(jax.random.fold_in(key, 1), (n, d))
+        v_ref = jnp.take(p, systematic_resample(key, w), axis=0)
+        with pltpu.force_tpu_interpret_mode():
+            v_blk = systematic_resample_values_blocked(key, p, w=w)
+        np.testing.assert_allclose(
+            np.asarray(v_ref), np.asarray(v_blk), atol=1e-4
+        )
+
+    def test_exact_smooth_weights(self, key):
+        self._run(key, 4096, 1, 1.0)
+
+    def test_exact_heavy_weights_multi_dim(self, key):
+        self._run(jax.random.fold_in(key, 7), 4096, 2, 3.0)
+
+    def test_exact_tail_block(self, key):
+        # n not a multiple of the 512 output block: pad blocks must not
+        # flag spuriously and the tail outputs must still be exact
+        self._run(jax.random.fold_in(key, 8), 3000, 1, 2.0)
+
+    def test_degenerate_routes_to_fallback(self, key):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from particle_filters_tpu.ops.resample_pallas import (
+            systematic_resample_values_blocked,
+        )
+
+        n = 4096
+        w = jnp.zeros(n).at[321].set(1.0)  # one particle takes every slot
+        p = jax.random.normal(key, (n, 2))
+        with pltpu.force_tpu_interpret_mode():
+            v = systematic_resample_values_blocked(
+                jax.random.PRNGKey(1), p, w=w
+            )
+        np.testing.assert_allclose(
+            np.asarray(v), np.tile(np.asarray(p[321]), (n, 1)), atol=1e-4
+        )
