@@ -103,6 +103,47 @@ def main():
 
     slope("fused step (no resample)", build_fused, m_lo=20, m_hi=120)
 
+    # 4. XLA baselines the Pallas kernel replaces
+    starts0 = _systematic_starts(key, w, N)
+
+    def build_scatter(m):
+        ks = jax.random.split(key, m)
+
+        @jax.jit
+        def run():
+            def body(c, k):
+                prev = jnp.concatenate(
+                    [jnp.zeros_like(c[:1]), c[:-1]], axis=0
+                )
+                out = jnp.zeros_like(c).at[starts0].add(
+                    c - prev, indices_are_sorted=True, mode="drop"
+                )
+                out = jnp.cumsum(out, axis=0)
+                return out * (1.0 + 1e-12 * k[0].astype(jnp.float32)), None
+            c, _ = jax.lax.scan(body, p, ks)
+            return jnp.sum(c[:8])
+        return run
+
+    slope("XLA scatter+cumsum fallback", build_scatter)
+
+    def build_take(m):
+        ks = jax.random.split(key, m)
+
+        @jax.jit
+        def run():
+            def body(c, k):
+                marks = jnp.zeros((N,), jnp.int32).at[starts0].add(
+                    1, indices_are_sorted=True, mode="drop"
+                )
+                idx = jnp.cumsum(marks) - 1
+                out = jnp.take(c, idx, axis=0)
+                return out * (1.0 + 1e-12 * k[0].astype(jnp.float32)), None
+            c, _ = jax.lax.scan(body, p, ks)
+            return jnp.sum(c[:8])
+        return run
+
+    slope("XLA marks+cumsum+take", build_take)
+
 
 if __name__ == "__main__":
     main()
