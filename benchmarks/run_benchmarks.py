@@ -62,17 +62,29 @@ def _rpc_floor():
 
 
 def timed(fn, *args, reps=3, warmup=1):
-    """Best-of-reps wall time, scalar-sync'd, RPC floor subtracted."""
+    """Best-of-reps wall time, scalar-sync'd, RPC floor subtracted.
+
+    Executions much shorter than one RPC roundtrip cannot be resolved
+    individually, so they are chained (async dispatch queues them back to
+    back on the device) behind a single sync and the chain is averaged.
+    """
     floor = _rpc_floor()
     for _ in range(warmup):
         out = fn(*args)
         _sync_scalar(out)
+    # Pilot: decide whether chaining is needed.
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _sync_scalar(out)
+    pilot = time.perf_counter() - t0 - floor
+    chain = 1 if pilot > 8.0 * floor else 16
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(chain):
+            out = fn(*args)
         _sync_scalar(out)
-        best = min(best, time.perf_counter() - t0 - floor)
+        best = min(best, (time.perf_counter() - t0 - floor) / chain)
     return max(best, 0.0), out
 
 
