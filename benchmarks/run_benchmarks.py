@@ -388,17 +388,18 @@ def bench_snlg():
         kalman_filter_general,
         make_ukf_state,
     )
-    from particle_filters_tpu.simulators import SNLGConfig, simulate_snlg_dataset
+    from particle_filters_tpu.simulators.sensor_network_lg import (
+        make_grid_coords,
+        se_kernel_cov,
+    )
 
     D, T, TRIALS, SZ, AL = 64, 50, 100, 2.0, 0.9
-    ds = simulate_snlg_dataset(
-        SNLGConfig(d=D, T=T, trials=TRIALS, sigmas=(SZ,), seed=123)
-    )
     # The reference's EXACT seed-123 data stream (NumPy PCG64, trial-major
     # draw order as simulate_dataset, sigma_z=2.0 block first) so the MSE
     # column is directly comparable; Sigma comes from the parity-tested
-    # SE-kernel builder.
-    Sigma_np = np.asarray(ds.Sigma, np.float64)
+    # SE-kernel builder (no need to simulate a throwaway JAX dataset).
+    Sigma_jax = se_kernel_cov(make_grid_coords(D), 3.0, 20.0, 0.01)
+    Sigma_np = np.asarray(Sigma_jax, np.float64)
     L_np = np.linalg.cholesky(Sigma_np)
     rng = np.random.default_rng(123)
     Xr = np.zeros((TRIALS, T + 1, D))
@@ -413,7 +414,7 @@ def bench_snlg():
     Z_ref = jnp.asarray(Zr, jnp.float32)
 
     I = jnp.eye(D)
-    Sigma = jnp.asarray(ds.Sigma)
+    Sigma = jnp.asarray(Sigma_jax, jnp.float32)
     R = SZ**2 * I
 
     # KF over all trials (vmapped)

@@ -22,6 +22,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
@@ -210,6 +211,22 @@ class LEDHFlowPF:
                     f"beta_schedule must have shape ({n_steps + 1},) = "
                     f"(n_lambda_steps + 1,); got {beta.shape}."
                 )
+            # Validate values when the schedule is concrete (the usual
+            # case): the Woodbury flow divides by λ and its SPD argument
+            # K ⪰ P⁻¹/λ requires a strictly increasing positive pseudo-time
+            # — a zero or non-monotone schedule would otherwise produce
+            # silent inf/NaN particles instead of an error.
+            if not isinstance(beta, jax.core.Tracer):
+                b = np.asarray(beta)
+                if not np.all(np.diff(b) > 0.0):
+                    raise ValueError(
+                        "beta_schedule must be strictly increasing."
+                    )
+                if not np.all(b[1:] > 0.0):
+                    raise ValueError(
+                        "beta_schedule values past index 0 must be positive "
+                        "(the flow divides by λ)."
+                    )
             lams = beta[1:]
             dlams = jnp.diff(beta)
 

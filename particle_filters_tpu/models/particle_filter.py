@@ -199,6 +199,12 @@ class ParticleFilter:
         idx = resample_indices(self.resample_method, k_idx, logw=lw)
         return jnp.take(p, idx, axis=0)
 
+    def _resample_keys(self, key):
+        """(k_idx, k_jitter) derivation of the resample branch — the ONE
+        place this split is defined, so diagnostics (``run``'s
+        ``track_degeneracy``) can reproduce the exact ancestry stream."""
+        return jax.random.split(key)
+
     def _maybe_resample(self, key, particles, logw):
         """ESS-triggered resample under lax.cond (reference :188-218)."""
         ess = ess_from_logw(logw, self.axis_name)
@@ -206,7 +212,7 @@ class ParticleFilter:
 
         def do_resample(operand):
             k, p, lw = operand
-            k_idx, k_jit = jax.random.split(k)
+            k_idx, k_jit = self._resample_keys(k)
             n_local = p.shape[0]
             ok = jnp.asarray(True)
             if self.axis_name is not None:
@@ -260,18 +266,30 @@ class ParticleFilter:
         )
         return particles, logw, ess, trigger, exchange_ok
 
-    def update(self, key: jax.Array, state: PFState, z, particles=None) -> PFState:
+    def update(self, key: jax.Array, state: PFState, z, particles=None,
+               return_diagnostics: bool = False):
         """Log-weight update + conditional resample + posterior moments
         (reference :239-267). ``particles`` defaults to ``state.particles``
-        (call after ``predict``)."""
+        (call after ``predict``).
+
+        With ``return_diagnostics`` returns ``(state, diag)`` where diag
+        carries ``ess``, ``resampled``, and ``exchange_ok`` — the latter is
+        the correctness signal of the memory-bounded neighbor-exchange
+        resample (``distributed_resample="neighbor"``): False on a step
+        whose ancestry needed shards beyond ±neighbor_radius, i.e. the
+        resample clipped to pool-edge ancestors. ``run`` surfaces the same
+        flag in its history; step-by-step drivers should check it here.
+        """
         z = jnp.asarray(z)
         if particles is None:
             particles = state.particles
         loglik = jax.vmap(lambda x: self._obs_loglik(x, z))(particles)
         logw, _ = log_normalize(state.log_weights + loglik, self.axis_name)
-        particles, logw, _, _, _ = self._maybe_resample(key, particles, logw)
+        particles, logw, ess, trig, ex_ok = self._maybe_resample(
+            key, particles, logw
+        )
         mean, cov = weighted_mean_cov(particles, logw, self.axis_name)
-        return PFState(
+        new = PFState(
             particles=particles,
             weights=jnp.exp(logw),
             log_weights=logw,
@@ -279,12 +297,20 @@ class ParticleFilter:
             cov=cov,
             t=state.t + 1,
         )
+        if return_diagnostics:
+            return new, {"ess": ess, "resampled": trig, "exchange_ok": ex_ok}
+        return new
 
-    def step(self, key: jax.Array, state: PFState, z, u=None) -> PFState:
-        """Predict then update (reference :271)."""
+    def step(self, key: jax.Array, state: PFState, z, u=None,
+             return_diagnostics: bool = False):
+        """Predict then update (reference :271). See ``update`` for
+        ``return_diagnostics``."""
         k_pred, k_upd = jax.random.split(key)
         particles = self.predict(k_pred, state, u)
-        return self.update(k_upd, state, z, particles=particles)
+        return self.update(
+            k_upd, state, z, particles=particles,
+            return_diagnostics=return_diagnostics,
+        )
 
     def run(
         self,
@@ -365,10 +391,20 @@ class ParticleFilter:
                 )
 
                 # Same key derivation as _maybe_resample's do_resample branch
-                # so the counts match the resample that actually ran.
-                k_idx, _ = jax.random.split(k_upd)
-                counts = systematic_counts(k_idx, logw=logw_pre)
-                survive = jnp.mean((counts > 0).astype(jnp.float32))
+                # so the ancestry matches the resample that actually ran —
+                # per configured method, not hardwired to systematic.
+                k_idx, _ = self._resample_keys(k_upd)
+                if self.resample_method == "systematic":
+                    counts = systematic_counts(k_idx, logw=logw_pre)
+                    survive = jnp.mean((counts > 0).astype(jnp.float32))
+                else:
+                    idx = resample_indices(
+                        self.resample_method, k_idx, logw=logw_pre
+                    )
+                    hit = jnp.zeros((idx.shape[0],), jnp.int32).at[idx].add(
+                        1, mode="drop"
+                    )
+                    survive = jnp.mean((hit > 0).astype(jnp.float32))
                 out.update(
                     entropy=weight_entropy(logw_pre),
                     gini=weight_gini(logw_pre),

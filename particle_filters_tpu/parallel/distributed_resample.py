@@ -22,9 +22,21 @@ t_j = ceil(N·cdf_j − u) as the all-gather path; the local output is the
 gather-free telescoping scatter+cumsum of ``resampling/hard.py`` applied
 to the pooled values with the slot offset subtracted — bit-for-bit the
 same convention, so the two paths agree up to cumsum rounding order.
+
+Precision bound: the child starts are computed as ``ceil(N·cdf − u)`` in
+float32 (TPU-native; x64 is globally disabled), whose unit-spacing breaks
+down once N·cdf exceeds 2²⁴ ≈ 1.7e7 — starts then quantize to multi-slot
+granularity and the all-gather-equivalence above degrades to
+O(N·2⁻²⁴)-slot ancestry jitter. The same bound applies to the all-gather
+path itself (``resampling/hard.py`` uses the identical f32 arithmetic),
+so the two paths stay mutually consistent; a trace-time warning fires
+beyond the bound. Exact N ≫ 2²⁴ support would need compensated (double-
+single) cumsum/multiply arithmetic end to end.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +62,14 @@ def neighbor_exchange_systematic_resample(
     n_shards = lax.axis_size(axis_name)
     d = lax.axis_index(axis_name)
     n_total = n_local * n_shards
+    if n_total > 2**24:
+        warnings.warn(
+            f"neighbor_exchange_systematic_resample: N={n_total} exceeds the "
+            "float32 child-start exactness bound (2^24); ancestry will carry "
+            f"~{n_total / 2**24:.1f}-slot quantization jitter (see module "
+            "docstring).",
+            stacklevel=2,
+        )
     dtype = particles.dtype
 
     w_local = jnp.exp(logw).astype(dtype)
@@ -87,8 +107,10 @@ def neighbor_exchange_systematic_resample(
     pool_vals = jnp.concatenate(pool_vals, axis=0)  # ((2r+1)·n_local, d)
     pool_cdf = jnp.concatenate(pool_cdf, axis=0)
 
-    # Same u as the single-shard/all-gather path (replicated key).
-    u = jax.random.uniform(key, (), dtype)
+    # Same u as the single-shard/all-gather path (replicated key; drawn in
+    # the WEIGHTS' dtype exactly as resampling/hard.py does, so the same
+    # key gives the same u even when particle and weight dtypes differ).
+    u = jax.random.uniform(key, (), logw.dtype).astype(dtype)
 
     # Global child-start of each pooled ancestor, shifted into MY slot
     # range [d·n_local, (d+1)·n_local): starts_j = t_{j-1}, t_j =

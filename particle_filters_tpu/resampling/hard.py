@@ -42,21 +42,26 @@ def _inverse_cdf(cdf: jax.Array, positions: jax.Array) -> jax.Array:
     return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
 
 
-def _systematic_starts(key, weights: jax.Array, m: int) -> jax.Array:
-    """Start position of each ancestor's child run under systematic
-    resampling with M positions (u + i)/M:
-
-        t_j = #{i : (u + i)/M < cdf_j} = ⌈M·cdf_j − u⌉,
-        start_j = t_{j−1}  (t_{−1} = 0).
-
-    Returns int32 ``starts`` (N,) with starts in [0, M]; particle j gets
-    children at output slots [starts_j, starts_{j+1}).
+def _child_run_ends(key, weights: jax.Array, m: int) -> jax.Array:
+    """t_j = #{i : (u + i)/M < cdf_j} = ⌈M·cdf_j − u⌉ — the END (exclusive)
+    of each ancestor's child run under systematic resampling with M
+    positions (u + i)/M. The ONE definition of the inverse-CDF convention:
+    ``_systematic_starts`` (used by the Pallas/scatter value paths) and
+    ``systematic_counts`` both derive from it, so the three stay
+    bit-identical for the same key.
     """
     cdf = jnp.cumsum(weights)
     cdf = cdf / cdf[-1]
     u = jax.random.uniform(key, (), weights.dtype)
     t = jnp.ceil(m * cdf - u)
-    t = jnp.clip(t, 0.0, m).astype(jnp.int32)
+    return jnp.clip(t, 0.0, m).astype(jnp.int32)
+
+
+def _systematic_starts(key, weights: jax.Array, m: int) -> jax.Array:
+    """Start position of each ancestor's child run: start_j = t_{j−1}
+    (t_{−1} = 0). Returns int32 (N,) with starts in [0, M]; particle j gets
+    children at output slots [starts_j, starts_{j+1})."""
+    t = _child_run_ends(key, weights, m)
     return jnp.concatenate([jnp.zeros((1,), jnp.int32), t[:-1]])
 
 
@@ -104,10 +109,7 @@ def systematic_counts(
     """
     weights = _weights_from(w, logw)
     n = weights.shape[0]
-    cdf = jnp.cumsum(weights)
-    cdf = cdf / cdf[-1]
-    u = jax.random.uniform(key, (), weights.dtype)
-    t = jnp.clip(jnp.ceil(n * cdf - u), 0.0, n).astype(jnp.int32)
+    t = _child_run_ends(key, weights, n)
     return jnp.diff(t, prepend=jnp.zeros((1,), jnp.int32))
 
 

@@ -261,3 +261,112 @@ class TestDegeneracyTracking:
                 jnp.zeros((3, 1)),
                 track_degeneracy=True,
             )
+
+
+class TestDiagnosticsFixes:
+    """Regressions for review findings: method-aware unique_frac,
+    exchange_ok surfaced from update()/step(), beta-schedule validation."""
+
+    def _pf(self, method, key):
+        import jax.numpy as jnp
+        from particle_filters_tpu.models import ParticleFilter
+
+        pf = ParticleFilter(
+            lambda x, u: 0.9 * x, None, jnp.array([[0.04]]), None,
+            Np=256, resample_thresh=2.0,  # always resample
+            resample_method=method,
+            obs_loglik=lambda x, z: -0.5 * (z[0] - x[0]) ** 2,
+        )
+        st = pf.initialize(key, jnp.zeros(1), jnp.eye(1))
+        return pf, st
+
+    @pytest.mark.parametrize("method", ["systematic", "stratified", "multinomial"])
+    def test_unique_frac_matches_actual_ancestry(self, key, method):
+        """track_degeneracy's unique_frac must reflect the configured
+        resample method's ancestry, not a hardwired systematic one."""
+        from particle_filters_tpu.resampling.hard import resample_indices
+
+        pf, st = self._pf(method, key)
+        zs = jnp.linspace(-1.0, 1.0, 5)[:, None]
+        _, hist = pf.run(key, st, zs, track_degeneracy=True)
+
+        # replay the exact per-step key/weight stream to predict ancestry
+        keys = jax.random.split(key, 5)
+        state = st
+        expected = []
+        for t in range(5):
+            k_pred, k_upd = jax.random.split(keys[t])
+            particles = pf.predict(k_pred, state, None)
+            loglik = jax.vmap(lambda x: pf._obs_loglik(x, zs[t]))(particles)
+            from particle_filters_tpu.core.weights import log_normalize
+
+            logw_pre, _ = log_normalize(state.log_weights + loglik)
+            k_idx, _ = pf._resample_keys(k_upd)
+            idx = resample_indices(method, k_idx, logw=logw_pre)
+            expected.append(len(np.unique(np.asarray(idx))) / 256.0)
+            state = pf.update(k_upd, state, zs[t], particles=particles)
+        np.testing.assert_allclose(
+            np.asarray(hist["unique_frac"]), expected, atol=1e-6
+        )
+
+    def test_update_returns_diagnostics(self, key):
+        pf, st = self._pf("systematic", key)
+        new, diag = pf.update(key, st, jnp.array([0.3]),
+                              return_diagnostics=True)
+        assert set(diag) == {"ess", "resampled", "exchange_ok"}
+        assert bool(diag["exchange_ok"])  # single-device: always exact
+        assert bool(diag["resampled"])  # thresh=2.0 forces it
+
+    def test_step_returns_diagnostics(self, key):
+        pf, st = self._pf("systematic", key)
+        new, diag = pf.step(key, st, jnp.array([0.1]),
+                            return_diagnostics=True)
+        assert np.isfinite(float(diag["ess"]))
+        assert int(new.t) == 1
+
+
+class TestLEDHScheduleValidation:
+    def _ledh(self, key):
+        from particle_filters_tpu.core.linalg import mvn_logpdf_chol
+        from particle_filters_tpu.models import (
+            ExtendedKalmanFilter,
+            GaussianTracker,
+            LEDHConfig,
+            LEDHFlowPF,
+        )
+
+        A = jnp.array([[0.9]])
+        Q = R = jnp.array([[0.1]])
+        L = jnp.linalg.cholesky(Q)
+        ledh = LEDHFlowPF(
+            GaussianTracker(ExtendedKalmanFilter(lambda x, u: A @ x,
+                                                 lambda x: x, Q, R)),
+            lambda x, u, v: A @ x + v,
+            lambda x: x,
+            lambda x: jnp.eye(1),
+            lambda xn, xo: mvn_logpdf_chol(xn, A @ xo, L),
+            lambda z, x: mvn_logpdf_chol(z, x, L),
+            R,
+            LEDHConfig(n_particles=16, n_lambda_steps=4),
+        )
+        st = ledh.init_from_gaussian(key, jnp.zeros(1), jnp.eye(1))
+        ts = ledh.tracker.init(jnp.zeros(1), jnp.eye(1))
+        return ledh, st, ts
+
+    def test_zero_schedule_raises(self, key):
+        ledh, st, ts = self._ledh(key)
+        with pytest.raises(ValueError, match="positive|increasing"):
+            ledh.step(key, st, ts, jnp.array([0.1]),
+                      beta_schedule=jnp.zeros(5))
+
+    def test_nonmonotone_schedule_raises(self, key):
+        ledh, st, ts = self._ledh(key)
+        bad = jnp.array([0.0, 0.5, 0.3, 0.8, 1.0])
+        with pytest.raises(ValueError, match="increasing"):
+            ledh.step(key, st, ts, jnp.array([0.1]), beta_schedule=bad)
+
+    def test_valid_schedule_accepted(self, key):
+        ledh, st, ts = self._ledh(key)
+        good = jnp.array([0.0, 0.1, 0.3, 0.6, 1.0])
+        st2, _ = ledh.step(key, st, ts, jnp.array([0.1]), beta_schedule=good)
+        assert np.isfinite(np.asarray(st2.mean)).all()
