@@ -74,12 +74,15 @@ def _resample_kernel(
         k0 = ((sup * _SG + i) * _SUB).astype(jnp.float32)
         pos = k0 + iota_s  # (128, 1) global positions (exact in f32 < 2^24)
         s = s_win_ref[0, pl.ds(i, 1), :]  # (1, Q*128)
-        C = (s <= pos).astype(jnp.float32)  # (128, Q*128)
+        C = s <= pos  # (128, Q*128) predicate — consumed via select, not
+        # materialized as f32 (saves one VPU pass per element vs
+        # compare→astype→multiply)
         d_blk = d_win_ref[0, i]  # (d, Q*128)
         rows = []
         for dim in range(d_dim):
             dl = d_blk[dim : dim + 1]  # (1, Q*128)
-            rows.append(jnp.sum(C * dl, axis=1, keepdims=True).T)  # (1, 128)
+            masked = jnp.where(C, jnp.broadcast_to(dl, C.shape), 0.0)
+            rows.append(jnp.sum(masked, axis=1, keepdims=True).T)  # (1, 128)
         acc = jnp.concatenate(rows, axis=0) if d_dim > 1 else rows[0]
         out_ref[0, :, pl.ds(i * _SUB, _SUB)] = acc
         return 0
