@@ -558,6 +558,47 @@ def bench_mat_flows():
 
 
 
+def bench_ot_large():
+    """Blockwise Sinkhorn-OT resampling at N the reference cannot touch.
+
+    The upstream dense Sinkhorn (``models/DPF_OT_resampling.py``) took
+    3.55 s/step at N=50 (BASELINE.md); its O(N²·iters) TensorArray loops
+    extrapolate to ~10⁶ s at N=65536, and the dense cost matrix alone is
+    17 GB. The blockwise path (``resampling/ot_blockwise.py``) streams the
+    flash-attention-style logsumexp recurrence and never materializes N².
+    """
+    from particle_filters_tpu.resampling.ot_blockwise import (
+        sinkhorn_ot_resample_blockwise,
+    )
+
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for n in (4096, 16384, 65536):
+        p = jax.random.normal(key, (n, 2), jnp.float32)
+        lw = jax.random.normal(jax.random.fold_in(key, 1), (n,)) * 0.5
+        w = jax.nn.softmax(lw)
+
+        f = jax.jit(
+            lambda pp, ww: sinkhorn_ot_resample_blockwise(
+                pp, ww, epsilon=0.1, n_iters=10, block=512
+            )[0]
+        )
+        t, new_p = timed(f, p, w)
+        # sanity: barycentric projection preserves the weighted mean
+        err = float(
+            jnp.linalg.norm(jnp.mean(new_p, 0) - (w @ p))
+        )
+        out[f"n{n}_s"] = t
+        out[f"n{n}_mean_err"] = err
+    out["n_iters"] = 10
+    out["reference"] = {
+        "dense_step_s_at_n50": 3.55,
+        "note": "O(N^2 iters) extrapolation to N=65536 ~ 1e6 s; dense cost "
+        "matrix 17 GB — infeasible upstream",
+    }
+    RESULTS["ot_large"] = out
+
+
 def bench_nlngssm_flows():
     """EDH / LEDH / KPF on the nonlinear-non-Gaussian SV model, T=1000,
     N=500, 10 lambda steps, RK4 (reference EDH_LEDH_KPF_NLNGSSM.ipynb:
@@ -655,7 +696,7 @@ def bench_nlngssm_flows():
 def main():
     which = sys.argv[1:] if len(sys.argv) > 1 else [
         "sv_classic", "dpf_linear", "dpf_nonlinear", "snlg", "mat_flows",
-        "nlngssm_flows",
+        "nlngssm_flows", "ot_large",
     ]
     benches = {
         "sv_classic": bench_sv_classic,
@@ -664,6 +705,7 @@ def main():
         "snlg": bench_snlg,
         "mat_flows": bench_mat_flows,
         "nlngssm_flows": bench_nlngssm_flows,
+        "ot_large": bench_ot_large,
     }
     for name in which:
         print(f"=== {name} ===", flush=True)
