@@ -125,6 +125,7 @@ class TestIntegrate:
         traj = l96_integrate(x0, 0.01, 5)
         assert traj.shape == (6, 2, NX)
 
+    @pytest.mark.slow
     def test_chaotic_divergence(self):
         # two nearby trajectories on the attractor separate exponentially
         x0 = np.full(NX, 8.0)
@@ -136,6 +137,7 @@ class TestIntegrate:
         d_final = float(jnp.linalg.norm(base - pert))
         assert d_final > 0.5  # grew ≫ initial 1e-3·√40 ≈ 6e-3
 
+    @pytest.mark.slow
     def test_attractor_statistics(self):
         # long-run mean of L96 at F=8 is ≈ 2.3, std ≈ 3.6 (well-known values)
         x0 = np.full(NX, 8.0)

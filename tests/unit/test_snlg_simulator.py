@@ -427,6 +427,7 @@ class TestSNLGSimulation:
         ds = simulate_snlg_dataset(SNLGConfig(d=4, T=2, trials=1, sigmas=(1.0,)))
         assert ds.X.shape == (1, 1, 3, 4)
 
+    @pytest.mark.slow
     def test_observation_noise_levels_ordering(self):
         # higher sigma_z ⇒ larger observation residual z - x
         cfg = SNLGConfig(d=16, T=20, trials=8, sigmas=(2.0, 0.25), seed=5)
@@ -436,6 +437,7 @@ class TestSNLGSimulation:
         assert stds[0] > stds[1]
         np.testing.assert_allclose(stds, [2.0, 0.25], rtol=0.15)
 
+    @pytest.mark.slow
     def test_dynamics_alpha_scaling(self):
         # with alpha=0 states are iid process noise; with alpha≈1 they are a
         # random walk whose late-time variance is larger.
@@ -444,6 +446,7 @@ class TestSNLGSimulation:
         v1 = np.var(np.asarray(simulate_snlg_dataset(SNLGConfig(alpha=0.99, **base)).X[:, :, -1]))
         assert v1 > 2.0 * v0
 
+    @pytest.mark.slow
     def test_process_noise_spatial_correlation(self):
         # beta=20 on a 4x4 grid: innovations at adjacent sites are strongly
         # positively correlated (kernel value 3·exp(-1/20) ≈ 2.85 of 3.01).
@@ -462,6 +465,7 @@ class TestSNLGSimulation:
         assert np.isfinite(np.asarray(small_snlg.X)).all()
         assert np.isfinite(np.asarray(small_snlg.Z)).all()
 
+    @pytest.mark.slow
     def test_stationary_variance_matches_theory(self):
         # x stationary covariance solves P = a²P + Σ ⇒ diag ≈ Σ_ii/(1-a²)
         cfg = SNLGConfig(d=16, T=200, trials=16, sigmas=(1.0,), alpha=0.5, seed=21)
