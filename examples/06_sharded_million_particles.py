@@ -17,6 +17,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # The env var alone loses to an already-registered TPU plugin; forcing
+    # CPU needs the config knob too (see CLAUDE.md / tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from particle_filters_tpu.models import ParticleFilter

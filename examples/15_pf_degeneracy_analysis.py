@@ -25,6 +25,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # The env var alone loses to an already-registered TPU plugin; forcing
+    # CPU needs the config knob too (see CLAUDE.md / tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
