@@ -307,3 +307,73 @@ class TestKPFAPI:
         d_before = float(jnp.linalg.norm(jnp.mean(X_far, axis=0) - y))
         d_after = float(jnp.linalg.norm(jnp.mean(st.particles, axis=0) - y))
         assert d_after < d_before
+
+
+class TestKPFAPIRemainder:
+    """Closes the last reference shapes-and-api archetypes not covered
+    above (``test_kernel_pf_shapes_and_api.py``: fixed-lengthscale mode,
+    state fields, random_order parity, nonlinear-system analysis)."""
+
+    def _setup(self, key, n=2, np_=64):
+        H = lambda x: x[:1]
+        JH = lambda x: jnp.eye(n)[:1]
+        model = Model(H=H, JH=JH, R=jnp.eye(1) * 0.25)
+        X = 1.5 * jax.random.normal(key, (np_, n)) + 0.5
+        return model, X
+
+    def test_state_fields(self, key):
+        model, X = self._setup(key)
+        st = KernelParticleFilter(model).analyze(X, jnp.array([0.2]))
+        assert st.particles.shape == X.shape
+        assert st.weights.shape == (X.shape[0],)
+        assert st.ds_history.shape == (KPFConfig().max_steps,)
+        assert int(st.steps) >= KPFConfig().min_steps
+
+    def test_fixed_lengthscale_mode(self, key):
+        model, X = self._setup(key)
+        cfg = KPFConfig(kernel_type="scalar", lengthscale_mode="fixed",
+                        fixed_lengthscale=0.7)
+        st = KernelParticleFilter(model, cfg).analyze(X, jnp.array([0.2]))
+        assert float(st.s) >= 1.0 - 1e-5
+        assert np.isfinite(np.asarray(st.particles)).all()
+
+    def test_random_order_flag_api_parity(self, key):
+        # accepted for parity; Jacobi update makes it a no-op — both
+        # settings must give identical results
+        model, X = self._setup(key)
+        a = KernelParticleFilter(model, KPFConfig(random_order=True)).analyze(
+            X, jnp.array([0.1]), key=key
+        )
+        b = KernelParticleFilter(model, KPFConfig(random_order=False)).analyze(
+            X, jnp.array([0.1]), key=jax.random.fold_in(key, 1)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.particles), np.asarray(b.particles)
+        )
+
+    def test_nonlinear_observation_analysis(self, key):
+        n = 2
+        H = lambda x: jnp.array([x[0] ** 2 + 0.5 * x[1]])
+        JH = jax.jacfwd(H)
+        model = Model(H=H, JH=JH, R=jnp.eye(1) * 0.1)
+        X = jax.random.normal(key, (128, n)) + jnp.array([1.0, 0.0])
+        y = jnp.array([1.8])
+        st = KernelParticleFilter(model).analyze(X, y)
+        # the analysis completes and contracts the predicted-observation
+        # spread (R=0.1 is informative vs the prior's obs variance)
+        assert float(st.s) >= 1.0 - 1e-5
+        prior_var = float(jnp.var(jax.vmap(H)(X)))
+        post_var = float(jnp.var(jax.vmap(H)(st.particles)))
+        assert post_var < prior_var
+
+    def test_analyze_accepts_1d_observation_scalar_model(self, key):
+        model, X = self._setup(key)
+        st = KernelParticleFilter(model).analyze(X, jnp.array([0.0]))
+        assert np.isfinite(np.asarray(st.particles)).all()
+
+    def test_ds_respects_floor(self, key):
+        model, X = self._setup(key)
+        cfg = KPFConfig(ds_min=0.05, ds_init=0.05, max_steps=30)
+        st = KernelParticleFilter(model, cfg).analyze(X, jnp.array([0.3]))
+        used = np.asarray(st.ds_history)[: int(st.steps)]
+        assert (used >= 0.05 - 1e-6).all()
