@@ -35,8 +35,16 @@ regular row gather:
 
 Per-output work is S×(Q·128) compare+mac = 512 ops — half the earlier
 block-dense variant (window 1024) and with no in-kernel index logic.
-Measured at N=2^20, d=1: ~1.7 ms vs ~2.8 ms (block-dense Pallas) / ~9 ms
+Measured at N=2^20, d=1: ~2.3 ms vs ~2.8 ms (block-dense Pallas) / ~9 ms
 (XLA scatter) inside a ``lax.scan``.
+
+Finer decompositions were tried and REJECTED on measurement: (a) in-kernel
+one-hot row selection per 128-output sub (6.3 ms), (b) per-32-output fine
+groups with one-hot selects (9.5 ms), (c) per-32-output fine groups with
+dynamic-shift ``pltpu.roll`` row selection (bench regressed 3.7e9 →
+2.2e9 particle-steps/s). On this VPU the fixed overhead of many small
+per-group scalar/select/roll ops exceeds their op-count savings every
+time; one dense well-shaped compare per 128 outputs is the sweet spot.
 """
 
 from __future__ import annotations
