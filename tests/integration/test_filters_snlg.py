@@ -108,3 +108,79 @@ class TestEDHOnSNLG:
         # BASELINE: EDH-200 ≈ 1.3× KF MSE at this config; allow 2×+slack.
         assert mse < 2.0 * kf_mse + 0.1
         assert np.all(np.isfinite(np.asarray(hist["condition_numbers"])))
+
+
+class TestLEDHOnSNLG:
+    """LEDH on the sensor network — the reference's remaining SNLG pairing
+    (``test_filters_snlg_simulator.py``; BASELINE LEDH-200 MSE 0.6512)."""
+
+    def test_ledh_in_kf_ballpark(self, key, snlg):
+        from particle_filters_tpu.models import LEDHConfig, LEDHFlowPF
+
+        ds, cfg = snlg
+        I = jnp.eye(D)
+        Sigma = jnp.asarray(ds.Sigma)
+        R = SIGMA_Z**2 * I
+        LQ = jnp.linalg.cholesky(Sigma + 1e-8 * I)
+        LR = SIGMA_Z * I
+
+        g = lambda x, u, v: ALPHA * x + v
+        h = lambda x: x
+        jac_h = lambda x: I
+        lt = lambda xn, xo: mvn_logpdf_chol(xn, ALPHA * xo, LQ)
+        ll = lambda z, x: mvn_logpdf_chol(z, x, LR)
+        noise = lambda k, n, nx: jax.random.normal(k, (n, nx)) @ LQ.T
+
+        ekf = ExtendedKalmanFilter(
+            lambda x, u: ALPHA * x, h, Sigma, R
+        )
+        tracker = GaussianTracker(ekf)
+        ledh = LEDHFlowPF(
+            tracker, g, h, jac_h, lt, ll, R,
+            LEDHConfig(n_particles=100, n_lambda_steps=8),
+        )
+        st = ledh.init_from_gaussian(key, jnp.zeros(D), Sigma)
+        ts = tracker.init(jnp.zeros(D), Sigma)
+        Z = ds.Z[0, 0]
+        _, _, hist = jax.jit(
+            lambda k, s, t: ledh.run(k, s, t, Z, process_noise_sampler=noise)
+        )(jax.random.fold_in(key, 1), st, ts)
+        mse = float(jnp.mean((hist["mean"] - ds.X[0, 0, 1:]) ** 2))
+        _, kf_mse = _kf_mse(snlg, 0)
+        # reference ratio LEDH/KF ≈ 1.31 at d=64; allow slack at d=16, T=12
+        assert np.isfinite(mse)
+        assert mse < 2.5 * kf_mse + 0.1
+
+
+class TestCrossFilterOrdering:
+    def test_exact_kf_is_best(self, key, snlg):
+        """The exact KF must not lose to the approximate flow filters on
+        its own linear-Gaussian model (reference table ordering)."""
+        ds, cfg = snlg
+        I = jnp.eye(D)
+        Sigma = jnp.asarray(ds.Sigma)
+        R = SIGMA_Z**2 * I
+        LQ = jnp.linalg.cholesky(Sigma + 1e-8 * I)
+        LR = SIGMA_Z * I
+        g = lambda x, u, v: ALPHA * x + v
+        h = lambda x: x
+        lt = lambda xn, xo: mvn_logpdf_chol(xn, ALPHA * xo, LQ)
+        ll = lambda z, x: mvn_logpdf_chol(z, x, LR)
+        noise = lambda k, n, nx: jax.random.normal(k, (n, nx)) @ LQ.T
+
+        tracker = GaussianTracker(
+            ExtendedKalmanFilter(lambda x, u: ALPHA * x, h, Sigma, R)
+        )
+        edh = EDHFlowPF(
+            tracker, g, h, lambda x: I, lt, ll, R,
+            EDHConfig(n_particles=100, n_lambda_steps=8),
+        )
+        st = edh.init_from_gaussian(key, jnp.zeros(D), Sigma)
+        ts = tracker.init(jnp.zeros(D), Sigma)
+        Z = ds.Z[0, 1]
+        _, _, hist = jax.jit(
+            lambda k, s, t: edh.run(k, s, t, Z, process_noise_sampler=noise)
+        )(jax.random.fold_in(key, 2), st, ts)
+        edh_mse = float(jnp.mean((hist["mean"] - ds.X[0, 1, 1:]) ** 2))
+        _, kf_mse = _kf_mse(snlg, 1)
+        assert kf_mse <= edh_mse + 1e-3
