@@ -108,7 +108,10 @@ def main() -> None:
         t0 = time.perf_counter()
         final, hist = run(keys[1 + i], state0)
         float(hist["mean"][0, 0])
-        times.append(time.perf_counter() - t0 - rpc)
+        # Clamp: an unclamped subtraction of a noisy RPC-floor estimate
+        # could yield a negative time and an inflated/infinite throughput
+        # (matches benchmarks/run_benchmarks.py::timed).
+        times.append(max(time.perf_counter() - t0 - rpc, 1e-9))
     best = min(times)
 
     particle_steps_per_sec = n_particles * n_steps / best

@@ -120,7 +120,8 @@ class EDHFlowPF:
             diagnostics={
                 "condition_numbers": jnp.zeros(
                     (self.cfg.n_lambda_steps,), mean0.dtype
-                )
+                ),
+                "resampled": jnp.asarray(False),
             },
         )
 
@@ -205,6 +206,7 @@ class EDHFlowPF:
         ts, _, _ = self.tracker.update(ts, z)
 
         # ESS-triggered systematic resample (reference :304-309)
+        trigger = jnp.asarray(False)
         if self.cfg.resample_ess_ratio > 0.0:
             ess = ess_from_logw(logw)
             trigger = ess < self.cfg.resample_ess_ratio * n
@@ -227,7 +229,7 @@ class EDHFlowPF:
             log_weights=logw,
             mean=mean,
             cov=symmetrize(cov),
-            diagnostics={"condition_numbers": conds},
+            diagnostics={"condition_numbers": conds, "resampled": trigger},
         )
         return new_state, ts
 
@@ -254,6 +256,7 @@ class EDHFlowPF:
                 "mean": st.mean,
                 "cov": st.cov,
                 "ess": ess_from_logw(st.log_weights),
+                "resampled": st.diagnostics["resampled"],
                 "condition_numbers": st.diagnostics["condition_numbers"],
             }
             return (st, ts), hist

@@ -96,7 +96,8 @@ class LEDHFlowPF:
             diagnostics={
                 "condition_numbers": jnp.zeros(
                     (self.cfg.n_lambda_steps,), mean0.dtype
-                )
+                ),
+                "resampled": jnp.asarray(False),
             },
         )
 
@@ -227,6 +228,22 @@ class LEDHFlowPF:
                         "beta_schedule values past index 0 must be positive "
                         "(the flow divides by λ)."
                     )
+                # The flow assumes FULL tempering 0 → 1: the θ log-det weight
+                # correction telescopes to the λ=1 posterior only if the
+                # schedule actually ends at 1, and ε₀ = λ₁ − λ₀ with λ₀ = 0
+                # underpins the SPD argument of the Woodbury log-det (a
+                # negative λ₀ could make ε₀ > λ₁). Partial schedules would
+                # silently yield a partially-tempered posterior.
+                if b[0] != 0.0:
+                    raise ValueError(
+                        f"beta_schedule must start at 0.0 (got {b[0]!r}); "
+                        "the flow integrates pseudo-time from λ=0."
+                    )
+                if b[-1] != 1.0:
+                    raise ValueError(
+                        f"beta_schedule must end at 1.0 (got {b[-1]!r}); "
+                        "the weight correction assumes full tempering to λ=1."
+                    )
             lams = beta[1:]
             dlams = jnp.diff(beta)
 
@@ -265,6 +282,7 @@ class LEDHFlowPF:
 
         ts, _, _ = self.tracker.update(ts, z)
 
+        trigger = jnp.asarray(False)
         if self.cfg.resample_ess_ratio > 0.0:
             ess = ess_from_logw(logw)
             trigger = ess < self.cfg.resample_ess_ratio * n
@@ -287,7 +305,7 @@ class LEDHFlowPF:
             log_weights=logw,
             mean=mean,
             cov=symmetrize(cov),
-            diagnostics={"condition_numbers": conds},
+            diagnostics={"condition_numbers": conds, "resampled": trigger},
         )
         return new_state, ts
 
@@ -316,6 +334,7 @@ class LEDHFlowPF:
                 "mean": st.mean,
                 "cov": st.cov,
                 "ess": ess_from_logw(st.log_weights),
+                "resampled": st.diagnostics["resampled"],
                 "condition_numbers": st.diagnostics["condition_numbers"],
             }
             return (st, ts), hist

@@ -394,17 +394,26 @@ class ParticleFilter:
                 # so the ancestry matches the resample that actually ran —
                 # per configured method, not hardwired to systematic.
                 k_idx, _ = self._resample_keys(k_upd)
-                if self.resample_method == "systematic":
-                    counts = systematic_counts(k_idx, logw=logw_pre)
-                    survive = jnp.mean((counts > 0).astype(jnp.float32))
-                else:
-                    idx = resample_indices(
-                        self.resample_method, k_idx, logw=logw_pre
-                    )
+
+                def _survive(op):
+                    k, lw = op
+                    if self.resample_method == "systematic":
+                        counts = systematic_counts(k, logw=lw)
+                        return jnp.mean((counts > 0).astype(jnp.float32))
+                    idx = resample_indices(self.resample_method, k, logw=lw)
                     hit = jnp.zeros((idx.shape[0],), jnp.int32).at[idx].add(
                         1, mode="drop"
                     )
-                    survive = jnp.mean((hit > 0).astype(jnp.float32))
+                    return jnp.mean((hit > 0).astype(jnp.float32))
+
+                # Ancestry reconstruction is as expensive as the resample
+                # itself at large N — only run it on steps that resampled.
+                survive = lax.cond(
+                    trig,
+                    _survive,
+                    lambda op: jnp.float32(1.0),
+                    (k_idx, logw_pre),
+                )
                 out.update(
                     entropy=weight_entropy(logw_pre),
                     gini=weight_gini(logw_pre),

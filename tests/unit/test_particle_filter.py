@@ -370,3 +370,16 @@ class TestLEDHScheduleValidation:
         good = jnp.array([0.0, 0.1, 0.3, 0.6, 1.0])
         st2, _ = ledh.step(key, st, ts, jnp.array([0.1]), beta_schedule=good)
         assert np.isfinite(np.asarray(st2.mean)).all()
+
+    def test_partial_tempering_schedule_raises(self, key):
+        """A monotone positive schedule that does not span [0, 1] silently
+        yields a partially-tempered posterior — must be rejected."""
+        ledh, st, ts = self._ledh(key)
+        not_from_zero = jnp.array([0.3, 0.5, 0.7, 0.9, 1.0])
+        with pytest.raises(ValueError, match="start at 0"):
+            ledh.step(key, st, ts, jnp.array([0.1]),
+                      beta_schedule=not_from_zero)
+        not_to_one = jnp.array([0.0, 0.2, 0.4, 0.6, 0.8])
+        with pytest.raises(ValueError, match="end at 1"):
+            ledh.step(key, st, ts, jnp.array([0.1]),
+                      beta_schedule=not_to_one)

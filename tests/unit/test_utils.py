@@ -145,6 +145,14 @@ class TestDegeneracyMetrics:
         lw = jnp.full((64,), -1e9).at[3].set(0.0)
         assert float(weight_entropy(lw)) < 1e-6
 
+    def test_entropy_single_particle_defined(self):
+        """N=1: log(N)=0 must not produce NaN; a lone particle is uniform."""
+        from particle_filters_tpu.utils import weight_entropy
+
+        lw = jnp.zeros((1,))
+        assert float(weight_entropy(lw)) == 1.0
+        assert float(weight_entropy(lw, normalized=False)) == 0.0
+
     def test_entropy_unnormalized_option(self):
         from particle_filters_tpu.utils import weight_entropy
 
