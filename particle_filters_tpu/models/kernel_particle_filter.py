@@ -15,10 +15,18 @@ TPU-native design:
   (Np, Np, n) broadcast tensors and matmuls instead of the reference's
   per-particle Python loop (:404-434);
 - the pseudo-time loop is a ``lax.while_loop`` with a fixed-shape carry;
-- the reference's ``random_order`` serial (Gauss-Seidel-style) particle
-  update becomes a simultaneous (Jacobi-style) update — an intentional,
-  documented semantic difference (SURVEY.md §7 hard parts); the same
-  integration tolerances hold.
+- the update is simultaneous (Jacobi) — which, on close reading, is also
+  the REFERENCE's semantics: its per-particle loop writes into
+  ``X_new = X.copy()`` (:403) while evaluating every velocity at
+  ``xi = X[idx]`` (:406) against the frozen ensemble with scores ``G``
+  recomputed once per sweep (:388/:444), so no particle sees another's
+  update within a sweep and ``random_order`` merely permutes independent
+  writes (a semantic no-op). ``tests/unit/test_kpf_update_order.py``
+  pins this: a NumPy sweep of the reference equations matches
+  ``analyze()`` to 2e-4 for both orderings, while a TRUE in-place
+  Gauss-Seidel oracle on an adversarial bimodal case lands ~1.2
+  Mahalanobis units away — an actually-serial update would be a
+  different algorithm, so parity requires Jacobi.
 """
 
 from __future__ import annotations
@@ -123,7 +131,10 @@ class Model:
 @pytree_dataclass
 class KPFConfig:
     """Reference ``KPFConfig`` (:230-242); ``random_order`` is accepted for
-    API parity but the update is always simultaneous (Jacobi)."""
+    API parity but the update is always simultaneous (Jacobi) — which is
+    what the reference's loop computes too (writes into a copy against a
+    frozen ensemble, so its shuffle cannot change the result; see module
+    docstring and ``tests/unit/test_kpf_update_order.py``)."""
 
     ds_init: float = static_field(default=0.2)
     ds_min: float = static_field(default=1e-3)
