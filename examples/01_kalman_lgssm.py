@@ -10,7 +10,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
 
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # The env var alone loses to an already-registered TPU plugin; forcing
+    # CPU needs the config knob too (see CLAUDE.md / tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,3 +46,45 @@ print(f"10-seed Monte Carlo (T=1000, nx=2):")
 print(f"  RMSE      : {np.mean(rmses):.4f}  (reference: 0.1915)")
 print(f"  mean NEES : {np.mean(neeses):.3f}   (expected ≈ 2.0; reference: 2.189)")
 print(f"  95% cover : {np.mean(covs)*100:.1f}%  (reference: 93.5%)")
+
+# ---- figure: NEES consistency + coverage panel (seed 42) --------------------
+# (the reference notebook's cell-6/cell-12 figures, as one committed PNG)
+from scipy.stats import chi2  # noqa: E402
+
+import figstyle  # noqa: E402
+
+data = simulate_lgssm(A, B, C, D, Sigma, 1000, seed=42)
+res = kalman_filter_general(
+    data.Y, A, C, np.eye(2, dtype=np.float32), Q, R,
+    x0=np.zeros(2, np.float32), P0=Sigma, use_joseph=True,
+)
+nees_t = np.asarray(nees(res.x_filt, res.P_filt, data.X))
+
+plt = figstyle.get_pyplot()
+fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(7.2, 4.6))
+
+lo, hi = chi2.ppf(0.025, df=2), chi2.ppf(0.975, df=2)
+ax1.axhspan(lo, hi, color="#eeeeee", zorder=0)
+ax1.plot(nees_t, color=figstyle.BLUE, lw=0.7)
+ax1.axhline(2.0, color=figstyle.GRAY, lw=1.0, ls="--")
+ax1.set_ylabel("NEES")
+ax1.set_ylim(0, 12)
+ax1.set_title(
+    f"KF on LGSSM, seed 42 — per-step NEES "
+    f"(mean {nees_t.mean():.2f}, expected 2.0; band = 95% χ²₂)",
+    fontsize=9, loc="left",
+)
+
+t = np.arange(200)
+mu = np.asarray(res.x_filt[:200, 0])
+sd = np.sqrt(np.asarray(res.P_filt[:200, 0, 0]))
+ax2.fill_between(t, mu - 1.96 * sd, mu + 1.96 * sd,
+                 color=figstyle.BLUE, alpha=0.18, lw=0)
+ax2.plot(t, mu, color=figstyle.BLUE, lw=1.1, label="KF mean ± 95% CI")
+ax2.plot(t, np.asarray(data.X[:200, 0]), color=figstyle.VERMILLION,
+         lw=0.9, ls=":", label="truth")
+ax2.set_xlabel("time step")
+ax2.set_ylabel("$x_1$")
+ax2.legend(loc="upper right", ncol=2)
+path = figstyle.save(fig, "01_kalman_nees_coverage.png")
+print(f"  figure    : {os.path.relpath(path)}")

@@ -75,6 +75,47 @@ print(f"  resample rate   {float(hist['resampled'].mean()) * 100:.1f}%")
 ru = hist["unique_frac"][hist["resampled"]]
 print(f"  unique frac after resample: mean {float(ru.mean()):.3f}, min {float(ru.min()):.3f}")
 
+# ---- figure: the phase-1 degeneracy panel (first 400 steps) -----------------
+import figstyle  # noqa: E402
+
+W = 400
+plt = figstyle.get_pyplot()
+fig, axes = plt.subplots(3, 1, figsize=(7.2, 5.4), sharex=True)
+t = np.arange(W)
+ess = np.asarray(hist["ess"][:W]) / 1000.0
+ent = np.asarray(hist["entropy"][:W])
+mw = np.asarray(hist["max_weight"][:W])
+res_ev = np.asarray(hist["resampled"][:W])
+uf = np.asarray(hist["unique_frac"][:W])
+
+axes[0].plot(t, ess, color=figstyle.BLUE, lw=0.9, label="ESS / Np")
+axes[0].axhline(0.5, color=figstyle.GRAY, lw=1.0, ls="--")
+axes[0].set_ylabel("ESS / Np")
+axes[0].set_ylim(0, 1.02)
+axes[0].set_title(
+    "SIR PF degeneracy panel — SV model, Np=1000, thresh=0.5 "
+    "(dashed = resample trigger)",
+    fontsize=9, loc="left",
+)
+
+axes[1].plot(t, ent, color=figstyle.GREEN, lw=0.9, label="weight entropy")
+axes[1].plot(t, mw, color=figstyle.VERMILLION, lw=0.9, ls="--",
+             label="max weight")
+axes[1].set_ylabel("entropy / max-w")
+axes[1].set_ylim(0, 1.02)
+axes[1].legend(loc="center right", ncol=2)
+
+ev = np.where(res_ev)[0]
+axes[2].vlines(ev, 0, 1, color="#dddddd", lw=0.7, zorder=0)
+axes[2].scatter(ev, uf[ev], s=7, color=figstyle.BLUE, zorder=2,
+                label="unique frac after resample")
+axes[2].set_ylabel("unique frac")
+axes[2].set_xlabel("time step")
+axes[2].set_ylim(0, 1.02)
+axes[2].legend(loc="lower right")
+path = figstyle.save(fig, "15_degeneracy_panel.png")
+print(f"  figure: {os.path.relpath(path)}")
+
 # ---- Experiment 1: particle count sweep -------------------------------------
 print("\nexperiment 1 — particle count (thresh=0.5):")
 print(f"  {'Np':>6s} {'RMSE':>8s} {'ESS/Np':>8s} {'resample%':>10s} {'unique':>8s}")
