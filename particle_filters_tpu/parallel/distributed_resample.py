@@ -23,56 +23,41 @@ gather-free telescoping scatter+cumsum of ``resampling/hard.py`` applied
 to the pooled values with the slot offset subtracted — bit-for-bit the
 same convention, so the two paths agree up to cumsum rounding order.
 
-Precision bound: the child starts are computed as ``ceil(N·cdf − u)`` in
-float32 (TPU-native; x64 is globally disabled), whose unit-spacing breaks
-down once N·cdf exceeds 2²⁴ ≈ 1.7e7 — starts then quantize to multi-slot
-granularity and the all-gather-equivalence above degrades to
-O(N·2⁻²⁴)-slot ancestry jitter. The same bound applies to the all-gather
-path itself (``resampling/hard.py`` uses the identical f32 arithmetic),
-so the two paths stay mutually consistent; a trace-time warning fires
-beyond the bound. Exact N ≫ 2²⁴ support would need compensated (double-
-single) cumsum/multiply arithmetic end to end.
+Precision: below N = 2^24 the child starts are computed as
+``ceil(N·cdf − u)`` in float32 exactly as ``resampling/hard.py`` does.
+Past that, float32 loses unit spacing, so the starts switch to the exact
+quantized-integer convention of ``resampling/exact.py`` — per-shard
+3-limb int32 cumsums, exact limb offsets across shards (all_gather of
+3-limb shard totals), and exact integer division — which is
+bit-identical to the single-device exact path for the same key at ANY N
+(tested by forcing ``exact=True`` at small N in
+``tests/unit/test_sharding.py``). In exact mode the ``ok`` sufficiency
+flag is itself computed from exact run ends of the pool-boundary CDF
+values rather than the f32 edge heuristic.
 """
 
 from __future__ import annotations
 
-import warnings
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+from particle_filters_tpu.resampling.exact import (
+    EXACT_THRESHOLD,
+    _add3,
+    exact_run_ends_from_cumsum,
+    exact_u_limbs,
+    quantize_weights_limbs,
+)
 
-def neighbor_exchange_systematic_resample(
-    key: jax.Array,
-    particles: jax.Array,  # (n_local, d) — this shard's slice
-    logw: jax.Array,  # (n_local,) globally normalized log-weights
-    *,
-    axis_name: str,
-    radius: int = 2,
+
+def _f32_pool_starts(
+    key, particles, w_local, axis_name, radius, n_shards, d, n_total, n_local
 ):
-    """Systematic resample of the global cloud without materializing it.
-
-    Call inside ``shard_map``. Returns ``(new_local_particles, ok)`` where
-    ``ok`` is a replicated bool: True iff every ancestor of this step's
-    output slots lay within ``radius`` shards (the result is then exactly
-    the all-gather systematic resample for the same key).
-    """
-    n_local = particles.shape[0]
-    n_shards = lax.axis_size(axis_name)
-    d = lax.axis_index(axis_name)
-    n_total = n_local * n_shards
-    if n_total > 2**24:
-        warnings.warn(
-            f"neighbor_exchange_systematic_resample: N={n_total} exceeds the "
-            "float32 child-start exactness bound (2^24); ancestry will carry "
-            f"~{n_total / 2**24:.1f}-slot quantization jitter (see module "
-            "docstring).",
-            stacklevel=2,
-        )
+    """Float32 pooled child-run starts + sufficiency flag (N <= 2^24)."""
     dtype = particles.dtype
-
-    w_local = jnp.exp(logw).astype(dtype)
     local_sum = jnp.sum(w_local)
     shard_sums = lax.all_gather(local_sum, axis_name)  # (S,)
     offsets = jnp.concatenate(
@@ -83,17 +68,12 @@ def neighbor_exchange_systematic_resample(
     # Global CDF values of MY particles (normalized to [0, 1]).
     my_cdf = (offsets[d] + jnp.cumsum(w_local)) / total
 
-    # Pool the 2r+1 neighbor shards' particles and CDF segments via ring
-    # ppermute; ring-wrapped (non-contiguous) sources are neutralized via
-    # their CDF fill values below.
-    pool_vals, pool_cdf = [], []
+    pool_cdf = []
     for off in range(-radius, radius + 1):
         if off == 0:
-            vals, cdf = particles, my_cdf
+            cdf = my_cdf
         else:
-            # shard s sends to shard s - off (so we RECEIVE shard d + off)
             perm = [(int(s), int((s - off) % n_shards)) for s in range(n_shards)]
-            vals = lax.ppermute(particles, axis_name, perm)
             cdf = lax.ppermute(my_cdf, axis_name, perm)
         src = d + off
         valid = jnp.logical_and(src >= 0, src <= n_shards - 1)
@@ -101,37 +81,15 @@ def neighbor_exchange_systematic_resample(
         # strict '>' inverse-CDF since positions are > 0 w.p. 1); trailing
         # get CDF 2 (> 1 ≥ any position). Keeps the pooled CDF ascending.
         fill = jnp.where(src < 0, jnp.zeros((), dtype), jnp.full((), 2.0, dtype))
-        cdf = jnp.where(valid, cdf, fill)
-        pool_vals.append(vals)
-        pool_cdf.append(cdf)
-    pool_vals = jnp.concatenate(pool_vals, axis=0)  # ((2r+1)·n_local, d)
-    pool_cdf = jnp.concatenate(pool_cdf, axis=0)
+        pool_cdf.append(jnp.where(valid, cdf, fill))
+    pool_cdf = jnp.concatenate(pool_cdf)
 
     # Same u as the single-shard/all-gather path (replicated key; drawn in
-    # the WEIGHTS' dtype exactly as resampling/hard.py does, so the same
-    # key gives the same u even when particle and weight dtypes differ).
-    u = jax.random.uniform(key, (), logw.dtype).astype(dtype)
+    # f32 exactly as resampling/hard.py does).
+    u = jax.random.uniform(key, (), jnp.float32).astype(dtype)
 
-    # Global child-start of each pooled ancestor, shifted into MY slot
-    # range [d·n_local, (d+1)·n_local): starts_j = t_{j-1}, t_j =
-    # ceil(N·cdf_j − u) (resampling/hard.py convention). Entries whose
-    # children all precede my range clip to 0 and telescope away; entries
-    # whose children all follow my range land at n_local and are dropped.
     t = jnp.clip(jnp.ceil(n_total * pool_cdf - u), 0.0, n_total)
-    starts_global = jnp.concatenate(
-        [jnp.zeros((1,), t.dtype), t[:-1]]
-    )
-    my_slot0 = (d * n_local).astype(t.dtype)
-    starts = jnp.clip(starts_global - my_slot0, 0.0, n_local).astype(jnp.int32)
-
-    prev = jnp.concatenate(
-        [jnp.zeros_like(pool_vals[:1]), pool_vals[:-1]], axis=0
-    )
-    diffs = pool_vals - prev
-    out = jnp.zeros((n_local,) + particles.shape[1:], dtype).at[starts].add(
-        diffs, indices_are_sorted=True, mode="drop"
-    )
-    new_particles = jnp.cumsum(out, axis=0)
+    starts_global = jnp.concatenate([jnp.zeros((1,), t.dtype), t[:-1]])
 
     # Sufficiency: the ancestor of my FIRST slot must not precede the pool
     # (its CDF cell would live on shard < d - radius), and the ancestor of
@@ -143,5 +101,175 @@ def neighbor_exchange_systematic_resample(
     hi_edge = offsets[jnp.minimum(d + radius + 1, n_shards)] / total
     ok_hi = jnp.logical_or(d + radius >= n_shards - 1, p_last < hi_edge)
     ok_local = jnp.logical_and(ok_lo, ok_hi)
+    return starts_global, ok_local
+
+
+def _exact_pool_starts(
+    key, particles, w_local, axis_name, radius, n_shards, d, n_total, n_local
+):
+    """Exact quantized-integer pooled child-run starts (any N <= 2^27).
+
+    Bit-identical to ``resampling.exact.exact_child_run_ends`` on the
+    all-gathered weight vector for the same key: the quantization scale
+    uses the exact same f32 global sum (deterministic shard-sum order),
+    the limb cumsum telescopes across shards via exact 3-limb offsets,
+    and u enters through the same ``exact_u_limbs`` convention.
+    """
+    local_sum = jnp.sum(w_local.astype(jnp.float32))
+    shard_sums = lax.all_gather(local_sum, axis_name)  # (S,) identical
+    total = jnp.sum(shard_sums)
+
+    # Quantize MY weights on the GLOBAL 2^40 grid (same elementwise f32
+    # product as the single-device path: w_i * (2^40 / total)).
+    q = quantize_weights_limbs_global(w_local, total)
+    Q_local = lax.associative_scan(_add3, q)  # exact local limb cumsum
+
+    # Exact 3-limb shard offsets: all_gather each shard's limb total and
+    # exact-scan over the (small) shard axis. Every shard computes the
+    # same offsets.
+    my_total = tuple(l[-1] for l in Q_local)
+    gathered = tuple(lax.all_gather(l, axis_name) for l in my_total)  # (S,)
+    offsets_incl = lax.associative_scan(_add3, gathered)  # (S,) inclusive
+    zero = tuple(jnp.zeros((1,), jnp.int32) for _ in range(3))
+    offsets = tuple(
+        jnp.concatenate([z, o]) for z, o in zip(zero, offsets_incl)
+    )  # (S+1,) exclusive offsets; offsets[S] = Q_total
+    q_total = tuple(o[-1] for o in offsets)
+
+    my_Q = tuple(
+        jnp.broadcast_to(o[d], ql.shape) + ql
+        for o, ql in zip(offsets, Q_local)
+    )
+    my_Q = _renorm3(my_Q)
+
+    pool_Q = [[], [], []]
+    for off in range(-radius, radius + 1):
+        if off == 0:
+            Qs = my_Q
+        else:
+            perm = [(int(s), int((s - off) % n_shards)) for s in range(n_shards)]
+            Qs = tuple(lax.ppermute(l, axis_name, perm) for l in my_Q)
+        src = d + off
+        valid = jnp.logical_and(src >= 0, src <= n_shards - 1)
+        # leading invalid -> Q = 0 (t clips to 0); trailing -> Q = Q_total
+        # (t = M, dropped after the slot shift)
+        fill = tuple(
+            jnp.where(src < 0, jnp.zeros((), jnp.int32), l) for l in q_total
+        )
+        for i in range(3):
+            pool_Q[i].append(
+                jnp.where(valid, Qs[i], jnp.broadcast_to(fill[i], Qs[i].shape))
+            )
+    pool_Q = tuple(jnp.concatenate(ls) for ls in pool_Q)
+
+    u = jax.random.uniform(key, (), jnp.float32)
+    U = exact_u_limbs(u, q_total)
+    U = tuple(l.reshape(()) for l in U)
+
+    t = exact_run_ends_from_cumsum(pool_Q, q_total, U, n_total)
+    starts_global = jnp.concatenate([jnp.zeros((1,), t.dtype), t[:-1]])
+
+    # Exact sufficiency: the pool's first run starts at the run end of the
+    # last particle BEFORE the pool, whose cumulative mass is exactly
+    # offsets[d - radius]; the pool's coverage ends at the run end of the
+    # last pooled particle, offsets[d + radius + 1].
+    def _t_of_offset(idx):
+        Qb = tuple(o[idx].reshape(()) for o in offsets)
+        return exact_run_ends_from_cumsum(Qb, q_total, U, n_total)
+
+    t_lo = _t_of_offset(jnp.maximum(d - radius, 0))
+    ok_lo = jnp.logical_or(d - radius <= 0, t_lo <= d * n_local)
+    t_hi = _t_of_offset(jnp.minimum(d + radius + 1, n_shards))
+    ok_hi = jnp.logical_or(
+        d + radius >= n_shards - 1, t_hi >= (d + 1) * n_local
+    )
+    ok_local = jnp.logical_and(ok_lo, ok_hi)
+    return starts_global.astype(jnp.float32), ok_local
+
+
+def _renorm3(q):
+    l0, l1, l2 = q
+    c0 = l0 >> 15
+    l0 = l0 & 32767
+    l1 = l1 + c0
+    c1 = l1 >> 15
+    l1 = l1 & 32767
+    l2 = l2 + c1
+    return l0, l1, l2
+
+
+def quantize_weights_limbs_global(w_local: jax.Array, total: jax.Array):
+    """Per-shard quantization against a replicated global total — the same
+    elementwise f32 product convention as ``quantize_weights_limbs``."""
+    from particle_filters_tpu.resampling.exact import _split_f32_to_limbs3
+
+    w = w_local.astype(jnp.float32)
+    scale = jnp.float32(2.0**40) / jnp.maximum(total, jnp.float32(1e-30))
+    return _split_f32_to_limbs3(jnp.maximum(w, 0.0) * scale)
+
+
+def neighbor_exchange_systematic_resample(
+    key: jax.Array,
+    particles: jax.Array,  # (n_local, d) — this shard's slice
+    logw: jax.Array,  # (n_local,) globally normalized log-weights
+    *,
+    axis_name: str,
+    radius: int = 2,
+    exact: Optional[bool] = None,
+):
+    """Systematic resample of the global cloud without materializing it.
+
+    Call inside ``shard_map``. Returns ``(new_local_particles, ok)`` where
+    ``ok`` is a replicated bool: True iff every ancestor of this step's
+    output slots lay within ``radius`` shards (the result is then exactly
+    the all-gather systematic resample for the same key).
+
+    ``exact`` selects the child-start arithmetic: None (default) uses
+    float32 up to N = 2^24 and the exact integer convention beyond;
+    True/False force either path (True is required for bit-exact ancestry
+    at N > 2^24 and is what the default picks there).
+    """
+    n_local = particles.shape[0]
+    n_shards = lax.axis_size(axis_name)
+    d = lax.axis_index(axis_name)
+    n_total = n_local * n_shards
+    if exact is None:
+        exact = n_total > EXACT_THRESHOLD
+    dtype = particles.dtype
+
+    w_local = jnp.exp(logw).astype(dtype)
+    fn = _exact_pool_starts if exact else _f32_pool_starts
+    starts_global, ok_local = fn(
+        key, particles, w_local, axis_name, radius, n_shards, d, n_total,
+        n_local,
+    )
+
+    # Pool the 2r+1 neighbor shards' particle values via ring ppermute.
+    pool_vals = []
+    for off in range(-radius, radius + 1):
+        if off == 0:
+            vals = particles
+        else:
+            perm = [(int(s), int((s - off) % n_shards)) for s in range(n_shards)]
+            vals = lax.ppermute(particles, axis_name, perm)
+        pool_vals.append(vals)
+    pool_vals = jnp.concatenate(pool_vals, axis=0)  # ((2r+1)·n_local, d)
+
+    # Shift the global child starts into MY slot range [d·n_local,
+    # (d+1)·n_local). Entries whose children all precede my range clip to
+    # 0 and telescope away; entries whose children all follow land at
+    # n_local and are dropped.
+    my_slot0 = (d * n_local).astype(starts_global.dtype)
+    starts = jnp.clip(starts_global - my_slot0, 0.0, n_local).astype(jnp.int32)
+
+    prev = jnp.concatenate(
+        [jnp.zeros_like(pool_vals[:1]), pool_vals[:-1]], axis=0
+    )
+    diffs = pool_vals - prev
+    out = jnp.zeros((n_local,) + particles.shape[1:], dtype).at[starts].add(
+        diffs, indices_are_sorted=True, mode="drop"
+    )
+    new_particles = jnp.cumsum(out, axis=0)
+
     ok = lax.psum(ok_local.astype(jnp.int32), axis_name) == n_shards
     return new_particles, ok

@@ -42,14 +42,32 @@ def _inverse_cdf(cdf: jax.Array, positions: jax.Array) -> jax.Array:
     return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
 
 
-def _child_run_ends(key, weights: jax.Array, m: int) -> jax.Array:
+def _child_run_ends(
+    key, weights: jax.Array, m: int, *, exact: Optional[bool] = None
+) -> jax.Array:
     """t_j = #{i : (u + i)/M < cdf_j} = ⌈M·cdf_j − u⌉ — the END (exclusive)
     of each ancestor's child run under systematic resampling with M
     positions (u + i)/M. The ONE definition of the inverse-CDF convention:
     ``_systematic_starts`` (used by the Pallas/scatter value paths) and
     ``systematic_counts`` both derive from it, so the three stay
     bit-identical for the same key.
+
+    Past N = 2^24 the f32 product M·cdf loses unit spacing, so the run
+    ends are computed by the exact quantized-integer path
+    (``resampling/exact.py``: 3-limb int32 cumsum + exact integer
+    division) — bit-identical across CPU/TPU and oracle-tested at
+    N = 2^25. ``exact=True/False`` forces either path (testing).
     """
+    from particle_filters_tpu.resampling.exact import (
+        EXACT_THRESHOLD,
+        exact_child_run_ends,
+    )
+
+    n = weights.shape[0]
+    if exact is None:
+        exact = max(n, m) > EXACT_THRESHOLD
+    if exact:
+        return exact_child_run_ends(key, weights, m)
     cdf = jnp.cumsum(weights)
     cdf = cdf / cdf[-1]
     u = jax.random.uniform(key, (), weights.dtype)
