@@ -47,9 +47,15 @@ from jax import lax
 from particle_filters_tpu.resampling.exact import (
     EXACT_THRESHOLD,
     _add3,
+    _coarse_int_limbs,
+    _exact_int_sum3,
+    _f32_exponent,
+    _norm3,
+    _split_f32_to_limbs3,
+    clean_weights,
     exact_run_ends_from_cumsum,
     exact_u_limbs,
-    quantize_weights_limbs,
+    weight_scale_pow2,
 )
 
 
@@ -111,17 +117,14 @@ def _exact_pool_starts(
 
     Bit-identical to ``resampling.exact.exact_child_run_ends`` on the
     all-gathered weight vector for the same key: the quantization scale
-    uses the exact same f32 global sum (deterministic shard-sum order),
-    the limb cumsum telescopes across shards via exact 3-limb offsets,
-    and u enters through the same ``exact_u_limbs`` convention.
+    is built from a global pmax exponent and an exact integer psum
+    (associative — identical for any shard layout), the limb cumsum
+    telescopes across shards via exact 3-limb offsets, and u enters
+    through the same ``exact_u_limbs`` convention.
     """
-    local_sum = jnp.sum(w_local.astype(jnp.float32))
-    shard_sums = lax.all_gather(local_sum, axis_name)  # (S,) identical
-    total = jnp.sum(shard_sums)
-
-    # Quantize MY weights on the GLOBAL 2^40 grid (same elementwise f32
-    # product as the single-device path: w_i * (2^40 / total)).
-    q = quantize_weights_limbs_global(w_local, total)
+    # Quantize MY weights on the GLOBAL power-of-two grid (identical
+    # elementwise products to the single-device path by construction).
+    q = quantize_weights_limbs_global(w_local, axis_name)
     Q_local = lax.associative_scan(_add3, q)  # exact local limb cumsum
 
     # Exact 3-limb shard offsets: all_gather each shard's limb total and
@@ -198,14 +201,20 @@ def _renorm3(q):
     return l0, l1, l2
 
 
-def quantize_weights_limbs_global(w_local: jax.Array, total: jax.Array):
-    """Per-shard quantization against a replicated global total — the same
-    elementwise f32 product convention as ``quantize_weights_limbs``."""
-    from particle_filters_tpu.resampling.exact import _split_f32_to_limbs3
-
-    w = w_local.astype(jnp.float32)
-    scale = jnp.float32(2.0**40) / jnp.maximum(total, jnp.float32(1e-30))
-    return _split_f32_to_limbs3(jnp.maximum(w, 0.0) * scale)
+def quantize_weights_limbs_global(w_local: jax.Array, axis_name: str):
+    """Per-shard quantization on the GLOBAL power-of-two grid — the same
+    elementwise convention as ``quantize_weights_limbs`` on the
+    concatenated weight vector, bit-for-bit: the max exponent comes from
+    ``pmax`` (exact) and the coarse integer total from per-shard exact
+    limb sums combined with an int32 ``psum`` (integer addition is
+    associative, so shard layout cannot change the value)."""
+    w = clean_weights(w_local)
+    mx = lax.pmax(jnp.max(w), axis_name)
+    e_max = _f32_exponent(jnp.maximum(mx, jnp.float32(2.0**-40)))
+    part = _exact_int_sum3(*_coarse_int_limbs(w, e_max))
+    v_total = _norm3(*(lax.psum(l, axis_name) for l in part))
+    scale = weight_scale_pow2(e_max, v_total)
+    return _split_f32_to_limbs3(w * scale)
 
 
 def neighbor_exchange_systematic_resample(

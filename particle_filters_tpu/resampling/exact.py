@@ -11,32 +11,45 @@ summation round differently, so CPU and TPU would disagree near every
 ceil boundary.
 
 Solution: a **quantized-integer convention** that is exact and
-bit-identical on every backend, built from vectorized int32 ops only:
+bit-identical on every backend AND every sharding topology, built from
+vectorized int32 ops plus error-free float steps only:
 
-1.  Quantize the normalized weights onto a 2^40 grid:
-    ``q_i = round(w_i * 2^40 / sum(w))`` (the f32 rounding of this product
-    *defines* the convention; each weight keeps its full 24-bit mantissa,
-    and the grid is ~2^16 times finer than f32 can resolve the cdf at
-    N = 2^26). ``q_i`` is extracted EXACTLY into three 15-bit limbs —
-    every split below is an error-free float operation.
+1.  Quantize the weights onto a power-of-two grid:
+    ``q_i = round(w_i * 2^(64 - e_max - e2))`` where ``e_max`` is the
+    f32 exponent of ``max(w)`` (exact bit extraction) and ``e2`` the
+    exponent of an EXACT integer rendering of ``sum(w)`` (weights
+    coarsely quantized to ints on the ``2^(e_max-24)`` grid and summed
+    with carry-limb int32 arithmetic — integer addition is associative,
+    so the total is identical for any reduction order, shard layout, or
+    backend; a float ``sum(w)`` would NOT be, which is why no float
+    reduction appears anywhere in this convention). The scale is an
+    exact power of two, so the product rounds identically everywhere;
+    ``Q_total`` lands within a few binades of 2^40 (≥ 2^37 even for
+    adversarial weight profiles), a grid ~2^13+ times finer than f32
+    can resolve the cdf at N = 2^26. ``q_i`` is extracted EXACTLY into
+    three 15-bit limbs — every split below is an error-free float
+    operation.
 2.  Exact prefix sums ``Q_j = sum_{i<=j} q_i`` via a carry-normalized
-    3-limb integer add under ``lax.associative_scan`` (normalized 2-limb
+    3-limb integer add under ``lax.associative_scan`` (normalized 3-limb
     addition is associative: the value is preserved and the canonical
     form is unique).
-3.  ``t_j = ceil((M*Q_j - U) / Q_total)`` with ``U = round(u * 2^40)``
-    clamped to ``Q_total - 1``, evaluated as
-    ``t_j = floor(D_j / Q_total)``, ``D_j = M*Q_j + (Q_total - 1 - U)``
-    (all terms nonnegative). Products are exact 5-limb integers; the
-    division uses a double-single (two-float) reciprocal ESTIMATE
-    followed by an EXACT integer correction (compare/adjust by one), so
-    the quotient is exactly ``floor`` regardless of float rounding.
+3.  ``t_j = ceil((M*Q_j)/Q_total - u)`` with u rendered on the grid as
+    ``U = floor(round(u * 2^24) * Q_total / 2^24)`` — an exact integer
+    product and shift (no float division) — clamped to ``Q_total - 1``,
+    evaluated as ``t_j = floor(D_j / Q_total)``,
+    ``D_j = M*Q_j + (Q_total - 1 - U)`` (all terms nonnegative).
+    Products are exact 5-limb integers; the division uses a
+    double-single (two-float) reciprocal ESTIMATE followed by an EXACT
+    integer correction (compare/adjust by one), so the quotient is
+    exactly ``floor`` regardless of float rounding.
 
 Accuracy of the convention itself: quantization perturbs each cdf value
-by < 2^-40 of the total mass — strictly finer than the reference's f64
+by < 2^-37 of the total mass — strictly finer than the reference's f64
 *sequential* cumsum error at N = 2^26 (~n*eps/2 ≈ 2^-29) and than any
 f32 representation of the weights. Exactness claims in tests are w.r.t.
 this convention, verified bit-for-bit against a Python big-integer
-oracle.
+oracle; ``tpu_tests/test_tpu_kernels.py`` additionally pins TPU == CPU
+bit-for-bit.
 
 Engaged automatically by ``resampling.hard._child_run_ends`` when
 ``M > 2^24`` (and force-selectable for testing); the same limb machinery
@@ -122,6 +135,10 @@ def _split_f32_to_limbs3(r: jax.Array) -> Limbs3:
     integer (round-half-even on the residual fraction), with carry fixes.
     """
     r = r.astype(jnp.float32)
+    # defensive: non-finite / oversized inputs (degenerate weight sums)
+    # clamp to the representable limb range instead of poisoning the
+    # integer pipeline with inf/NaN casts
+    r = jnp.clip(jnp.where(jnp.isfinite(r), r, 0.0), 0.0, jnp.float32(2.0**43))
     l2 = jnp.floor(r * jnp.float32(2.0**-30))
     rem = r - l2 * jnp.float32(2.0**30)
     l1 = jnp.floor(rem * jnp.float32(2.0**-15))
@@ -237,19 +254,94 @@ def _pad3_to5(q: Limbs3):
 
 
 # ---------------------------------------------------------------------------
+# deterministic power-of-two weight scale (no float reductions anywhere)
+# ---------------------------------------------------------------------------
+
+
+def _pow2i(e: jax.Array) -> jax.Array:
+    """Exact f32 power of two 2^e from an int32 exponent (bit
+    construction — never an ``exp2`` approximation)."""
+    e = jnp.clip(e, -126, 127)
+    return lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32
+    )
+
+
+def _f32_exponent(x: jax.Array) -> jax.Array:
+    """IEEE exponent of a positive normal f32 (exact bit extraction)."""
+    bits = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    return ((bits >> 23) & 0xFF) - 127
+
+
+def _exact_int_sum3(l0, l1, l2) -> Limbs3:
+    """Exact total of elementwise 3-limb int32 integers.
+
+    Hierarchical 1024-blocks keep every int32 partial in range; because
+    integer addition is associative and exact, the result is identical
+    for ANY reduction order, backend, or shard topology. Returns scalar
+    limbs (top limb may exceed 15 bits — value-preserving)."""
+    B = 1024
+    while l0.shape[0] > 1:
+        n = l0.shape[0]
+        npad = -(-n // B) * B
+        z = jnp.zeros((npad - n,), jnp.int32)
+        l0, l1, l2 = _norm3(
+            *(
+                jnp.concatenate([l, z]).reshape(-1, B).sum(axis=1)
+                for l in (l0, l1, l2)
+            )
+        )
+    return l0[0], l1[0], l2[0]
+
+
+def clean_weights(weights: jax.Array) -> jax.Array:
+    """f32, nonnegative, finite — the input contract of the quantizer."""
+    w = weights.astype(jnp.float32)
+    return jnp.maximum(jnp.where(jnp.isfinite(w), w, 0.0), 0.0)
+
+
+def weight_scale_pow2(e_max: jax.Array, v_total: Limbs3):
+    """The convention's exact power-of-two scale 2^(64 - e_max - e2).
+
+    ``e_max`` = exponent of max(w); ``v_total`` = exact integer sum of
+    the coarse quantization round(w * 2^(24 - e_max)). ``e2`` is the
+    f32 exponent of v_total rendered by a FIXED Horner evaluation (the
+    rendering's rounding is part of the convention). Then
+    sum(w) ≈ v_total * 2^(e_max - 24) ≈ 2^(e_max - 24 + e2), so
+    q_i = round(w_i * scale) sums to Q_total within a few binades of
+    2^40 for any weight profile."""
+    v0, v1, v2 = v_total
+    vf = (
+        v2.astype(jnp.float32) * jnp.float32(_BASE)
+        + v1.astype(jnp.float32)
+    ) * jnp.float32(_BASE) + v0.astype(jnp.float32)
+    e2 = _f32_exponent(jnp.maximum(vf, jnp.float32(1.0)))
+    return _pow2i(64 - e_max - e2)
+
+
+def _coarse_int_limbs(w: jax.Array, e_max: jax.Array):
+    """round(w * 2^(24 - e_max)) as elementwise 3-limb int32 (exact:
+    power-of-two multiply then round of a value <= 2^25)."""
+    v = jnp.round(w * _pow2i(24 - e_max)).astype(jnp.int32)
+    return v & _MASK, (v >> _LB) & _MASK, v >> (2 * _LB)
+
+
+# ---------------------------------------------------------------------------
 # the exact child-run ends
 # ---------------------------------------------------------------------------
 
 
 def quantize_weights_limbs(weights: jax.Array) -> Limbs3:
-    """Exact 3-limb integers q_i = round(w_i * 2^40 / sum(w)) (elementwise;
-    the f32 product's rounding defines the convention)."""
-    w = weights.astype(jnp.float32)
-    scale = jnp.float32(2.0**_KBITS) / jnp.maximum(
-        jnp.sum(w), jnp.float32(1e-30)
+    """Exact 3-limb integers q_i = round(w_i * 2^(64 - e_max - e2))
+    (elementwise; the exact power-of-two scale makes the rounding — and
+    hence the whole convention — bit-identical on every backend)."""
+    w = clean_weights(weights)
+    e_max = _f32_exponent(
+        jnp.maximum(jnp.max(w), jnp.float32(2.0**-40))
     )
-    r = jnp.maximum(w, 0.0) * scale
-    return _split_f32_to_limbs3(r)
+    v_total = _exact_int_sum3(*_coarse_int_limbs(w, e_max))
+    scale = weight_scale_pow2(e_max, v_total)
+    return _split_f32_to_limbs3(w * scale)
 
 
 def exact_cumsum_limbs(q: Limbs3) -> Limbs3:
@@ -258,11 +350,29 @@ def exact_cumsum_limbs(q: Limbs3) -> Limbs3:
     return lax.associative_scan(_add3, q)
 
 
+def _shr24_5to3(P):
+    """Exact right-shift by 24 bits of a normalized 5-limb (15-bit)
+    integer -> 3 limbs: drop one limb (15) then 9 more bits."""
+    _, p1, p2, p3, p4 = P
+    m9 = (1 << 9) - 1
+    n0 = (p1 >> 9) + ((p2 & m9) << 6)
+    n1 = (p2 >> 9) + ((p3 & m9) << 6)
+    n2 = (p3 >> 9) + (p4 << 6)
+    return n0, n1, n2
+
+
 def exact_u_limbs(u: jax.Array, q_total: Limbs3) -> Limbs3:
-    """U = round(u * 2^40), clamped to Q_total - 1 so that t_M == M."""
-    U = _split_f32_to_limbs3(
-        jnp.round(u.astype(jnp.float32) * jnp.float32(2.0**_KBITS))
-    )
+    """U = floor(round(u * 2^24) * Q_total / 2^24), clamped to
+    Q_total - 1 so that t_M == M.
+
+    An exact integer rendering of u on the Q_total grid: u * 2^24 is an
+    exact power-of-two multiply, the product with Q_total is exact limb
+    arithmetic and the shift is exact — no float division anywhere, so
+    the value is bit-identical on every backend."""
+    n_u = jnp.round(
+        u.astype(jnp.float32) * jnp.float32(2.0**24)
+    ).astype(jnp.int32)
+    U = _shr24_5to3(_mul_2_by_3(n_u & _MASK, n_u >> _LB, q_total))
     qt_minus1, _ = _sub5_ge(
         _pad3_to5(q_total), _pad3_to5((jnp.int32(1),) * 1 + (jnp.int32(0),) * 2)
     )

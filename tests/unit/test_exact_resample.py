@@ -52,8 +52,8 @@ def _oracle_run_ends(w, key, m):
     Q = np.cumsum(q)  # total ~2^40: fits int64
     Qt = int(Q[-1])
     u = np.float32(jax.random.uniform(key, (), jnp.float32))
-    Uf = float(np.round(np.float32(u * np.float32(2.0**40))))
-    U = min(int(decimal.Decimal(Uf).quantize(0)), Qt - 1)
+    n_u = int(np.round(u * np.float32(2.0**24)))
+    U = min((n_u * Qt) >> 24, Qt - 1)
     off = Qt - 1 - U
     # m*Q overflows int64 -> Python ints
     return np.array([(m * int(Qj) + off) // Qt for Qj in Q], dtype=np.int64)
@@ -201,8 +201,8 @@ class TestExactRunEndsLarge:
         Q = np.cumsum(q)
         Qt = int(Q[-1])
         u = np.float32(jax.random.uniform(key, (), jnp.float32))
-        Uf = float(np.round(np.float32(u * np.float32(2.0**40))))
-        U = min(int(decimal.Decimal(Uf).quantize(0)), Qt - 1)
+        n_u = int(np.round(u * np.float32(2.0**24)))
+        U = min((n_u * Qt) >> 24, Qt - 1)
         off = Qt - 1 - U
         idx = rng.choice(n, 100000, replace=False)
         t_or = np.array([(n * int(Q[j]) + off) // Qt for j in idx])

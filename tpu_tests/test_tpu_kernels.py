@@ -60,6 +60,38 @@ class TestBlockedResampleOnTPU:
         )
 
 
+class TestExactResampleOnTPU:
+    def test_bit_identical_to_cpu(self, tpu_jax):
+        """The quantized-integer child-run ends are pure int32 ops plus
+        error-free float splits — TPU must match the CPU result BIT FOR
+        BIT (the property that makes the N > 2^24 convention
+        platform-exact)."""
+        jax = tpu_jax
+        import jax.numpy as jnp
+
+        from particle_filters_tpu.resampling.exact import (
+            exact_child_run_ends,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 1 << 16
+        w = rng.lognormal(0, 1.5, n).astype(np.float32)
+        w /= w.sum()
+        key = jax.random.PRNGKey(11)
+
+        t_tpu = np.asarray(
+            jax.jit(lambda w: exact_child_run_ends(key, w, n))(jnp.asarray(w))
+        )
+        cpus = jax.devices("cpu")
+        with jax.default_device(cpus[0]):
+            t_cpu = np.asarray(
+                jax.jit(lambda w: exact_child_run_ends(key, w, n))(
+                    jnp.asarray(w)
+                )
+            )
+        assert np.array_equal(t_tpu, t_cpu)
+
+
 class TestFusedStepOnTPU:
     def test_tracks_sv(self, tpu_jax):
         jax = tpu_jax
