@@ -35,8 +35,10 @@ regular row gather:
 
 Per-output work is S×(Q·128) compare+mac = 512 ops — half the earlier
 block-dense variant (window 1024) and with no in-kernel index logic.
-Measured at N=2^20, d=1: ~2.3 ms vs ~2.8 ms (block-dense Pallas) / ~9 ms
-(XLA scatter) inside a ``lax.scan``.
+Measured at N=2^20, d=1: ~0.29 ms full resample (unrolled batched-
+transpose kernel, r3) vs ~2.3 ms (fori_loop + per-sub transposes, r2)
+/ ~2.8 ms (block-dense Pallas) / ~9 ms (XLA scatter), all inside a
+``lax.scan``.
 
 Finer decompositions were tried and REJECTED on measurement: (a) in-kernel
 one-hot row selection per 128-output sub (6.3 ms), (b) per-32-output fine
@@ -69,33 +71,44 @@ _SG = 64  # sub-groups per pallas grid step
 def _resample_kernel(
     s_win_ref,  # (1, SG, Q*128) f32 VMEM: per-sub window starts
     d_win_ref,  # (1, SG, d, Q*128) f32 VMEM: per-sub window diffs
-    out_ref,  # (1, d, SG*128) f32 VMEM: output positions (lane-major)
+    out_ref,  # (1, SG*d, 128) f32 VMEM: per-sub output rows
     *,
     d_dim: int,
 ):
+    # Structure notes (all slope-measured at N=2^20, r3):
+    # - The loop over the SG sub-groups is UNROLLED python, not fori_loop,
+    #   and each sub-group's (128, 1) reduce result is collected into one
+    #   (128, SG·d) buffer that is transposed ONCE per grid step. The
+    #   previous form — fori_loop with a per-sub (128,1)→(1,128)
+    #   transpose before the output write — spent ~1.8 ms/resample on
+    #   8192 tiny relayouts + loop overhead; this form runs the whole
+    #   resample in ~0.3 ms. The window width barely matters next to
+    #   that (q2 measured SLOWER than q4 here — lane-dim 256 vectorizes
+    #   worse than 512 — so there is no narrow-window cascade).
+    # - An MXU variant — cast the predicate to 0/1 f32 and dot it against
+    #   the diffs — was tried and REVERTED: the contraction runs over the
+    #   predicate's LANE dim, which Mosaic realizes with an in-kernel
+    #   transpose of every compare tile (kernel 1.8 → 3.0 ms).
+    # - The predicate is consumed via select, not materialized as f32
+    #   (saves one VPU pass per element vs compare→astype→multiply).
     sup = pl.program_id(0)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0).astype(
         jnp.float32
     )
-
-    def one_sub(i, _):
-        k0 = ((sup * _SG + i) * _SUB).astype(jnp.float32)
-        pos = k0 + iota_s  # (128, 1) global positions (exact in f32 < 2^24)
+    base = (sup * _SG * _SUB).astype(jnp.float32)
+    cols = []
+    for i in range(_SG):
+        pos = base + jnp.float32(i * _SUB) + iota_s  # (128, 1) global
+        # positions (exact in f32 < 2^24)
         s = s_win_ref[0, pl.ds(i, 1), :]  # (1, Q*128)
-        C = s <= pos  # (128, Q*128) predicate — consumed via select, not
-        # materialized as f32 (saves one VPU pass per element vs
-        # compare→astype→multiply)
+        C = s <= pos  # (128, Q*128)
         d_blk = d_win_ref[0, i]  # (d, Q*128)
-        rows = []
         for dim in range(d_dim):
             dl = d_blk[dim : dim + 1]  # (1, Q*128)
             masked = jnp.where(C, jnp.broadcast_to(dl, C.shape), 0.0)
-            rows.append(jnp.sum(masked, axis=1, keepdims=True).T)  # (1, 128)
-        acc = jnp.concatenate(rows, axis=0) if d_dim > 1 else rows[0]
-        out_ref[0, :, pl.ds(i * _SUB, _SUB)] = acc
-        return 0
-
-    jax.lax.fori_loop(0, _SG, one_sub, 0)
+            cols.append(jnp.sum(masked, axis=1, keepdims=True))  # (128, 1)
+    acc = jnp.concatenate(cols, axis=1)  # (128, SG*d)
+    out_ref[0, :, :] = acc.T  # ONE relayout per grid step
 
 
 def _blocked_pallas_path(starts, particles, a0, n, n_subs_pad):
@@ -162,16 +175,21 @@ def _blocked_pallas_path(starts, particles, a0, n, n_subs_pad):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, d, _SG * _SUB), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+            (1, _SG * d, _SUB), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (num_super, d, _SG * _SUB), jnp.float32
+            (num_super, _SG * d, _SUB), jnp.float32
         ),
     )(s_win, d_win)
 
-    # (S, d, SG·128) → (N_pad, d); add back the chunk base via broadcast +
-    # reshape (relayout only — jnp.repeat would be a ~9 ms gather).
-    out = out.transpose(0, 2, 1).reshape(n_subs_pad * _SUB, d)
+    # (S, SG·d, 128) rows ordered (sub, dim) → (N_pad, d); add back the
+    # chunk base via broadcast + reshape (relayout only — jnp.repeat would
+    # be a ~9 ms gather).
+    out = (
+        out.reshape(num_super, _SG, d, _SUB)
+        .transpose(0, 1, 3, 2)
+        .reshape(n_subs_pad * _SUB, d)
+    )
     base_bc = jnp.broadcast_to(
         bases[:, None, :], (n_subs_pad, _SUB, d)
     ).reshape(n_subs_pad * _SUB, d)
@@ -204,31 +222,7 @@ def systematic_resample_values_blocked(
     n, d = particles.shape
     starts = _systematic_starts(key, weights, n)  # (N,) int32 sorted
 
-    n_fc = -(-n // _SUB)
-    n_subs = -(-n // _SUB)
-    n_subs_pad = -(-n_subs // _SG) * _SG
-
-    # Fine-chunk leading starts scf_m = start_{m·128}: a strided slice.
-    pad = n_fc * _SUB - n
-    starts_pad = jnp.concatenate([starts, jnp.full((pad,), jnp.int32(2**30))])
-    scf = starts_pad.reshape(n_fc, _SUB)[:, 0]  # (n_fc,)
-
-    # Rank every sub-group boundary among scf by dense compare-and-sum
-    # (n_subs × n_fc VPU ops — replaces searchsorted's serial binary
-    # search). a0 = fine chunk of the sub-group's first ancestor; the same
-    # rank at its last REAL output position detects span overflow exactly.
-    k0 = jnp.arange(n_subs_pad, dtype=jnp.int32) * _SUB  # (n_subs_pad,)
-    cmp_lo = (scf[None, :] <= k0[:, None]).astype(jnp.int32)
-    a0 = jnp.maximum(jnp.sum(cmp_lo, axis=1) - 1, 0)
-    probe = jnp.minimum(k0 + (_SUB - 1), n - 1)
-    cmp_hi = (scf[None, :] <= probe[:, None]).astype(jnp.int32)
-    a_hi = jnp.sum(cmp_hi, axis=1) - 1
-    overflow = jnp.max(a_hi - a0) >= _QROWS
-
-    def fast(_):
-        return _blocked_pallas_path(starts, particles, a0, n, n_subs_pad)
-
-    def slow(_):
+    def slow_path(starts, particles):
         # Same starts → identical ancestry; XLA scatter+cumsum telescoping.
         prev = jnp.concatenate(
             [jnp.zeros_like(particles[:1]), particles[:-1]], axis=0
@@ -239,4 +233,60 @@ def systematic_resample_values_blocked(
         )
         return jnp.cumsum(out, axis=0)
 
-    return lax.cond(overflow, slow, fast, None)
+    if n > 1 << 24:
+        # The kernel compares positions in f32, exact only below 2^24.
+        # Past that the exact-integer starts (resampling/exact.py) feed
+        # the XLA telescoping path directly.
+        return slow_path(starts, particles)
+
+    n_fc = -(-n // _SUB)
+    n_subs = -(-n // _SUB)
+    n_subs_pad = -(-n_subs // _SG) * _SG
+
+    # Fine-chunk leading starts scf_m = start_{m·128}: a strided slice.
+    pad = n_fc * _SUB - n
+    starts_pad = jnp.concatenate([starts, jnp.full((pad,), jnp.int32(2**30))])
+    scf = starts_pad.reshape(n_fc, _SUB)[:, 0]  # (n_fc,)
+
+    # Rank every sub-group boundary among scf — NOT with an (n_subs × n_fc)
+    # dense compare (67M VPU ops at N=2^20, ~0.3 ms) but by inverting the
+    # sorted scf with the same scatter+cumsum trick the resampler itself
+    # uses: #{m : scf_m <= k} = #{m : ceil(scf_m / 128) <= k/128} for the
+    # aligned boundaries k = 128·s, so marks at ceil(scf/128) (and at
+    # floor(scf/128) for the last-real-position probe) cumsum to the
+    # ranks in O(n_fc) work. a0 = fine chunk of the sub-group's first
+    # ancestor; a_hi at its last REAL position detects span overflow
+    # exactly (both match the dense-compare definition bit-for-bit).
+    scf_cl = jnp.clip(scf, 0, n_subs_pad * _SUB)  # sentinels -> top bucket
+    c_lo = (scf_cl + (_SUB - 1)) // _SUB  # ceil(scf/128)  in [0, n_subs_pad]
+    marks_lo = jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_lo].add(
+        1, indices_are_sorted=True, mode="drop"
+    )
+    rank_lo = jnp.cumsum(marks_lo)  # rank_lo[s] = #{scf <= 128·s}
+    a0 = jnp.maximum(rank_lo[:-1] - 1, 0)  # (n_subs_pad,)
+
+    # probe = min(128·s + 127, n−1); for full sub-groups floor(scf/128)
+    # buckets give #{scf <= 128·s + 127}. The final (ragged) sub-group's
+    # probe n−1 is conservative-exact: scf entries in (n−1, 128·s+127]
+    # could only be the padded sentinels (clipped above), never real
+    # chunks, so the floor-bucket rank equals the dense-compare rank.
+    c_hi = scf_cl // _SUB
+    marks_hi = jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_hi].add(
+        1, indices_are_sorted=True, mode="drop"
+    )
+    rank_hi = jnp.cumsum(marks_hi)
+    a_hi = rank_hi[:-1] - 1
+    span = jnp.max(a_hi - a0)
+
+    # The 4-row window tolerates 4x local weight deficiency inside any
+    # 128-output sub-group; anything worse (pathological degeneracy) takes
+    # the exact XLA telescoping fallback. Both produce identical ancestry
+    # (same starts). A narrower Q=2 window was measured SLOWER than Q=4
+    # (lane-dim 256 vectorizes worse than 512), so there is no cascade.
+    def fast(_):
+        return _blocked_pallas_path(starts, particles, a0, n, n_subs_pad)
+
+    def slow(_):
+        return slow_path(starts, particles)
+
+    return lax.cond(span < _QROWS, fast, slow, None)

@@ -398,6 +398,55 @@ class TestBlockedPallasResample:
     def test_exact_smooth_weights(self, key):
         self._run(key, 4096, 1, 1.0)
 
+    def test_exact_near_uniform_weights(self, key):
+        """Near-uniform weights: every sub-group's ancestor span fits the
+        window with maximal slack — the pure fast-path regime."""
+        self._run(jax.random.fold_in(key, 9), 4096, 1, 0.05)
+
+    def test_span_ranks_match_dense_compare(self, key):
+        """The O(n_fc) scatter+cumsum rank inversion used for routing must
+        equal the dense-compare definition bit-for-bit — (a0, a_hi) are
+        what the kernel's exactness rests on, so they are checked against
+        the quadratic oracle across weight skews, including a ragged n."""
+        from particle_filters_tpu.ops import resample_pallas as rp
+        from particle_filters_tpu.resampling.hard import _systematic_starts
+
+        for n, scale in [(4096, 0.05), (4096, 3.0), (3000, 2.0)]:
+            w = jax.nn.softmax(jax.random.normal(key, (n,)) * scale)
+            starts = _systematic_starts(key, w, n)
+            n_subs = -(-n // rp._SUB)
+            n_subs_pad = -(-n_subs // rp._SG) * rp._SG
+            pad = n_subs * rp._SUB - n
+            scf = jnp.concatenate(
+                [starts, jnp.full((pad,), jnp.int32(2**30))]
+            ).reshape(n_subs, rp._SUB)[:, 0]
+
+            # module's scatter+cumsum ranks
+            scf_cl = jnp.clip(scf, 0, n_subs_pad * rp._SUB)
+            c_lo = (scf_cl + (rp._SUB - 1)) // rp._SUB
+            a0 = jnp.maximum(jnp.cumsum(
+                jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_lo].add(
+                    1, indices_are_sorted=True, mode="drop"
+                )
+            )[:-1] - 1, 0)
+            c_hi = scf_cl // rp._SUB
+            a_hi = jnp.cumsum(
+                jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_hi].add(
+                    1, indices_are_sorted=True, mode="drop"
+                )
+            )[:-1] - 1
+
+            # dense-compare oracle (the r2 implementation's definition)
+            k0 = jnp.arange(n_subs_pad, dtype=jnp.int32) * rp._SUB
+            or_a0 = jnp.maximum(
+                jnp.sum((scf[None, :] <= k0[:, None]), axis=1) - 1, 0
+            )
+            probe = jnp.minimum(k0 + (rp._SUB - 1), n - 1)
+            or_hi = jnp.sum((scf[None, :] <= probe[:, None]), axis=1) - 1
+
+            np.testing.assert_array_equal(np.asarray(a0), np.asarray(or_a0))
+            np.testing.assert_array_equal(np.asarray(a_hi), np.asarray(or_hi))
+
     def test_exact_heavy_weights_multi_dim(self, key):
         self._run(jax.random.fold_in(key, 7), 4096, 2, 3.0)
 
