@@ -21,6 +21,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's wall time on a 1-core host is
+# dominated by XLA:CPU compiles (~24 min user time vs seconds of compute);
+# warm runs skip them. The cache key includes jaxlib version, backend and
+# HLO, so stale hits are not a correctness concern. Keep it inside the
+# repo's gitignored scratch dir.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -209,6 +209,7 @@ class TestLEDHOnMAT:
 
 
 class TestTrackerNoAliasing:
+    @pytest.mark.slow
     def test_shared_tracker_object_cannot_alias_state(self, mat, key):
         """Regression for the reference's aliasing bug
         (``test_filters_mat_simulator.py:415-423``): there, EDH and LEDH

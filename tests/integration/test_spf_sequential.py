@@ -20,6 +20,7 @@ pytestmark = pytest.mark.integration
 
 
 class TestSPFSequential:
+    @pytest.mark.slow
     def test_spf_tracks_kf(self, key, small_system, lgssm_data):
         s = small_system
         T = 15

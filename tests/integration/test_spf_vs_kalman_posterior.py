@@ -219,6 +219,7 @@ def test_spf_correlated_prior():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_spf_different_mu_convergence(simple_2d_model):
     m_k, _ = simple_2d_model.kalman_posterior()
     for mu in (1e-3, 1e-2, 5e-2):

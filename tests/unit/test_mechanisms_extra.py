@@ -193,6 +193,7 @@ class TestPFLikelihoodPaths:
 
 
 class TestSimulatorStatsExtra:
+    @pytest.mark.slow
     def test_lgssm_burnin_reaches_stationarity(self, small_system):
         """With burn-in, the first sample is already stationary: its variance
         across seeds matches the stationary covariance diagonal."""

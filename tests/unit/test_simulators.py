@@ -270,6 +270,7 @@ class TestSkewT:
         with pytest.raises(ValueError):
             make_lattice(10)
 
+    @pytest.mark.slow
     def test_heavy_tails(self):
         """Skew-t dynamics have heavier tails than the Gaussian analog
         (reference ``test_sn_skewt_simulation.py`` semantics): low nu ⇒
@@ -294,6 +295,7 @@ class TestSkewT:
 
         assert kurt(heavy.X) > kurt(light.X) + 0.5
 
+    @pytest.mark.slow
     def test_multi_trial_independent(self):
         r = simulate_skewt_many(
             SkewTGridConfig(d=9),

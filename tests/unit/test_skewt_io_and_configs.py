@@ -53,6 +53,7 @@ class TestSkewTIO:
         np.testing.assert_allclose(back["Sigma"], np.asarray(trial.Sigma), rtol=1e-6)
         np.testing.assert_allclose(back["gamma"], np.asarray(trial.gamma), rtol=1e-6)
 
+    @pytest.mark.slow
     def test_roundtrip_many(self, small_cfgs, tmp_path):
         g, d, m, _ = small_cfgs
         res = simulate_skewt_many(g, d, m, SkewTSimConfig(T=4, n_trials=3))
