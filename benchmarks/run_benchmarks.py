@@ -251,35 +251,68 @@ def bench_dpf_linear():
             0.5 * jnp.log(v_) + 0.5 * (m_[..., 0] - xs[..., 0]) ** 2 / v_
         )
 
+    # Train on FRESH simulated minibatches of the same system — never on
+    # the benchmark sequence itself (examples/09's protocol; the earlier
+    # train-on-the-test-sequence version overstated the trained row).
+    def sim_batch(k, batch, t_steps):
+        k0, ks = jax.random.split(k)
+        x0 = jnp.zeros((batch, 1))
+
+        def body(x, kk):
+            k1, k2 = jax.random.split(kk)
+            x = A_C * x + SQ * jax.random.normal(k1, x.shape)
+            y = x + SR * jax.random.normal(k2, x.shape)
+            return x, (x, y)
+
+        _, (xs_, ys_) = jax.lax.scan(body, x0, jax.random.split(ks, t_steps))
+        return xs_.swapaxes(0, 1), ys_.swapaxes(0, 1)
+
     p_tr = dpf_tr.init_resampler(key)
     opt = optax.adam(3e-3)
     opt_state = opt.init(p_tr)
 
     @jax.jit
     def tstep(p, s, k):
+        kd, kf = jax.random.split(k)
+        xs_b, ys_b = sim_batch(kd, 8, T)
         loss, g = jax.value_and_grad(
-            lambda q: nll(dpf_tr, q, k, Y, X)
+            lambda q: nll(dpf_tr, q, kf, ys_b, xs_b)
         )(p)
         u, s = opt.update(g, s)
         return optax.apply_updates(p, u), s, loss
 
-    for i in range(150):
+    for i in range(300):
         p_tr, opt_state, _ = tstep(p_tr, opt_state, jax.random.fold_in(key, i))
 
-    k_eval = jax.random.fold_in(key, 999)
+    # Held-out evaluation ON the benchmark sequence, averaged over 8
+    # fresh filter keys (one-key results on T=20 are seed noise).
+    eval_keys = [jax.random.fold_in(key, 990 + i) for i in range(8)]
     f_tr = jax.jit(
         lambda k: dpf_tr.filter(p_tr, k, Y, jnp.zeros(1), jnp.eye(1),
                                 return_diagnostics=True, ground_truth=truth)
     )
-    t_tr, (_, _, diag_t) = timed(f_tr, k_eval)
+    t_tr, _ = timed(f_tr, eval_keys[0])
     out["rnn_trained_ms_per_step"] = t_tr / T * 1e3
-    out["rnn_trained_rmse"] = float(diag_t["mean_rmse"])
-    out["rnn_trained_nll"] = float(nll(dpf_tr, p_tr, k_eval, Y, X))
+    out["rnn_trained_rmse"] = float(np.mean(
+        [float(f_tr(k)[2]["mean_rmse"]) for k in eval_keys]
+    ))
+    out["rnn_trained_nll"] = float(np.mean(
+        [float(nll(dpf_tr, p_tr, k, Y, X)) for k in eval_keys]
+    ))
     dpf_rnn_b = DifferentiableParticleFilterRNN(
         N, 1, trans, loglik, rnn_hidden_dim=16, temperature=0.5,
         use_weight_prior=True, use_baseline_resampling=True,
     )
-    out["rnn_baseline_nll"] = float(nll(dpf_rnn_b, p_tr, k_eval, Y, X))
+    out["rnn_baseline_nll"] = float(np.mean(
+        [float(nll(dpf_rnn_b, p_tr, k, Y, X)) for k in eval_keys]
+    ))
+    f_rnn_multi = jax.jit(
+        lambda k: dpf_rnn.filter(params, k, Y, jnp.zeros(1), jnp.eye(1),
+                                 return_diagnostics=True, ground_truth=truth)
+    )
+    out["rnn_rmse_8keys"] = float(np.mean(
+        [float(f_rnn_multi(k)[2]["mean_rmse"]) for k in eval_keys]
+    ))
 
     out["reference_ms_per_step"] = {"soft": 8.0, "ot": 3550.0, "rnn": 4.2}
     out["reference_rmse"] = {"soft": 0.3653, "ot": 0.3336, "rnn": 0.5018}
