@@ -17,11 +17,15 @@ per-exec time is the slope between two chained-execution counts so the RPC
 floor cancels (``profile_kernels.py::slope``).
 """
 
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from particle_filters_tpu.ops import resample_pallas as rp
 from particle_filters_tpu.resampling.hard import _systematic_starts

@@ -60,6 +60,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from particle_filters_tpu.core.block_cumsum import blocked_cumsum
 from particle_filters_tpu.core.weights import log_normalize
 from particle_filters_tpu.resampling.hard import _systematic_starts
 
@@ -231,6 +232,8 @@ def systematic_resample_values_blocked(
         out = jnp.zeros_like(particles).at[starts].add(
             diffs, indices_are_sorted=True, mode="drop"
         )
+        if d == 1:
+            return blocked_cumsum(out[:, 0])[:, None]
         return jnp.cumsum(out, axis=0)
 
     if n > 1 << 24:

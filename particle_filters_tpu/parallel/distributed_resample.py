@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from particle_filters_tpu.core.block_cumsum import blocked_cumsum
 from particle_filters_tpu.resampling.exact import (
     EXACT_THRESHOLD,
     _add3,
@@ -72,7 +73,7 @@ def _f32_pool_starts(
     total = offsets[-1]
 
     # Global CDF values of MY particles (normalized to [0, 1]).
-    my_cdf = (offsets[d] + jnp.cumsum(w_local)) / total
+    my_cdf = (offsets[d] + blocked_cumsum(w_local)) / total
 
     pool_cdf = []
     for off in range(-radius, radius + 1):
@@ -278,7 +279,10 @@ def neighbor_exchange_systematic_resample(
     out = jnp.zeros((n_local,) + particles.shape[1:], dtype).at[starts].add(
         diffs, indices_are_sorted=True, mode="drop"
     )
-    new_particles = jnp.cumsum(out, axis=0)
+    if out.ndim == 2 and out.shape[1] == 1:
+        new_particles = blocked_cumsum(out[:, 0])[:, None]
+    else:
+        new_particles = jnp.cumsum(out, axis=0)
 
     ok = lax.psum(ok_local.astype(jnp.int32), axis_name) == n_shards
     return new_particles, ok

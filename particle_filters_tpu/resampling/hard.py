@@ -20,6 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from particle_filters_tpu.core.block_cumsum import blocked_cumsum
 from particle_filters_tpu.core.weights import log_normalize
 
 
@@ -68,7 +69,7 @@ def _child_run_ends(
         exact = max(n, m) > EXACT_THRESHOLD
     if exact:
         return exact_child_run_ends(key, weights, m)
-    cdf = jnp.cumsum(weights)
+    cdf = blocked_cumsum(weights)
     cdf = cdf / cdf[-1]
     u = jax.random.uniform(key, (), weights.dtype)
     t = jnp.ceil(m * cdf - u)
@@ -108,7 +109,7 @@ def systematic_resample(
     marks = jnp.zeros((m,), jnp.int32).at[starts].add(
         1, indices_are_sorted=True, mode="drop"
     )
-    return jnp.cumsum(marks) - 1
+    return blocked_cumsum(marks) - 1
 
 
 def systematic_counts(
@@ -166,6 +167,8 @@ def systematic_resample_values(
     out = jnp.zeros_like(particles).at[starts].add(
         diffs, indices_are_sorted=True, mode="drop"
     )
+    if out.ndim == 2 and out.shape[1] == 1:
+        return blocked_cumsum(out[:, 0])[:, None]
     return jnp.cumsum(out, axis=0)
 
 

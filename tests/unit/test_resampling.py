@@ -472,3 +472,57 @@ class TestBlockedPallasResample:
         np.testing.assert_allclose(
             np.asarray(v), np.tile(np.asarray(p[321]), (n, 1)), atol=1e-4
         )
+
+
+class TestBlockedCumsum:
+    """core.block_cumsum: the TPU-shaped prefix sum behind the resample
+    starts (5.7x faster than XLA's 1-D cumsum at N=2^20 — see module
+    docstring)."""
+
+    def test_int_exact_across_sizes(self, key):
+        from particle_filters_tpu.core.block_cumsum import blocked_cumsum
+
+        for n in [1, 7, 128, 16383, 16384, 16385, 1 << 17, (1 << 17) + 129]:
+            x = jax.random.randint(
+                jax.random.fold_in(key, n), (n,), -5, 6, jnp.int32
+            )
+            np.testing.assert_array_equal(
+                np.asarray(blocked_cumsum(x)), np.cumsum(np.asarray(x))
+            )
+
+    def test_float_close_and_total_consistent(self, key):
+        from particle_filters_tpu.core.block_cumsum import blocked_cumsum
+
+        n = (1 << 17) + 3  # ragged: exercises the zero-pad path
+        x = jax.nn.softmax(jax.random.normal(key, (n,)))
+        got = np.asarray(blocked_cumsum(x))
+        ref = np.cumsum(np.asarray(x, np.float64))
+        assert np.max(np.abs(got - ref)) < 1e-5
+        assert got.shape == (n,)
+        # monotone non-decreasing for nonnegative inputs
+        assert np.all(np.diff(got) >= -1e-7)
+
+    def test_starts_convention_shared_by_all_paths(self, key):
+        """The inverse-CDF convention is whatever _child_run_ends computes:
+        index, counts, and values paths must stay mutually consistent after
+        the blocked-cumsum swap (N above the blocking threshold)."""
+        from particle_filters_tpu.resampling.hard import (
+            systematic_counts,
+            systematic_resample,
+            systematic_resample_values,
+        )
+
+        n = 1 << 15
+        w = jax.nn.softmax(
+            2.0 * jax.random.normal(jax.random.fold_in(key, 1), (n,))
+        )
+        p = jax.random.normal(jax.random.fold_in(key, 2), (n, 1))
+        idx = systematic_resample(key, w)
+        counts = systematic_counts(key, w=w)
+        vals = systematic_resample_values(key, p, w=w)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.bincount(idx, length=n)), np.asarray(counts)
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.take(p, idx, axis=0)), np.asarray(vals), atol=1e-4
+        )
