@@ -33,7 +33,7 @@ from particle_filters_tpu.resampling.hard import _systematic_starts
 N = 1 << 20
 
 
-def slope(label, build_loop, m_lo=4, m_hi=12, reps=3):
+def slope(label, build_loop, m_lo=8, m_hi=72, reps=4):
     f_lo, f_hi = build_loop(m_lo), build_loop(m_hi)
     float(f_lo())
     float(f_hi())
@@ -71,18 +71,24 @@ def _prep_stages(key, particles, w, stop_at):
         [starts, jnp.full((pad,), jnp.int32(2**30))]
     )
     scf = starts_pad.reshape(n_fc, rp._SUB)[:, 0]
-    # scatter+cumsum ranks (mirrors the current resample_pallas prep)
+    # one 2-wide scatter + blocked cumsum (mirrors the r3 prep)
+    from particle_filters_tpu.core.block_cumsum import blocked_cumsum
+
     scf_cl = jnp.clip(scf, 0, n_subs_pad * rp._SUB)
-    c_lo = (scf_cl + (rp._SUB - 1)) // rp._SUB
-    marks_lo = jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_lo].add(
-        1, indices_are_sorted=True, mode="drop"
-    )
-    a0 = jnp.maximum(jnp.cumsum(marks_lo)[:-1] - 1, 0)
     c_hi = scf_cl // rp._SUB
-    marks_hi = jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_hi].add(
-        1, indices_are_sorted=True, mode="drop"
+    aligned = (scf_cl % rp._SUB == 0).astype(jnp.int32)
+    marks = jnp.zeros((n_subs_pad + 1, 2), jnp.int32).at[c_hi].add(
+        jnp.stack([jnp.ones_like(c_hi), aligned], axis=1),
+        indices_are_sorted=True,
+        mode="drop",
     )
-    a_hi = jnp.cumsum(marks_hi)[:-1] - 1
+    rank_hi = blocked_cumsum(marks[:, 0])
+    rank_lo = (
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), rank_hi[:-1]])
+        + marks[:, 1]
+    )
+    a0 = jnp.maximum(rank_lo[:-1] - 1, 0)
+    a_hi = rank_hi[:-1] - 1
     overflow = jnp.max(a_hi - a0) >= rp._QROWS
     if stop_at == "B":
         return (

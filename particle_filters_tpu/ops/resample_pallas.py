@@ -28,16 +28,23 @@ regular row gather:
     with d_w = p_w − p_{w−1}: C selects the prefix of diffs up to the
     active ancestor, which telescopes to ``p[j(k)] − p[a₀·128 − 1]``
     exactly. The chunk base is added back with a broadcast+reshape.
-5.  If ANY sub-group's ancestor span exceeds Q fine chunks (extreme local
-    weight degeneracy — needs a ~384-ancestor run of near-zero weights
-    inside one sub-group), the whole resample takes the exact XLA
-    scatter+cumsum fallback instead. Same starts ⇒ identical ancestry.
+5.  The window width is TIERED on the exact measured span: Q=3 covers
+    every sub-group whose local weight deficiency is < 3x (all
+    lognormal-weight workloads down to ESS ≈ N/3 — and an adaptive
+    ESS<N/2 trigger usually fires in that regime); a Q=8 middle tier
+    covers moderate degeneracy down to ESS ≈ 0.12·N; anything worse
+    takes the exact XLA scatter+cumsum fallback. All tiers share the
+    same starts ⇒ identical ancestry.
 
-Per-output work is S×(Q·128) compare+mac = 512 ops — half the earlier
-block-dense variant (window 1024) and with no in-kernel index logic.
-Measured at N=2^20, d=1: ~0.29 ms full resample (unrolled batched-
-transpose kernel, r3) vs ~2.3 ms (fori_loop + per-sub transposes, r2)
-/ ~2.8 ms (block-dense Pallas) / ~9 ms (XLA scatter), all inside a
+Per-output work is Q·128 compare+mac — 384 on the common Q=3 tier
+(ancestor spans measure ≤ 2 chunks on every resampling step of the
+north-star workload). Slope-measured at N=2^20, d=1
+(``benchmarks/profile_resample_split.py``, m=8→72 spread): ~0.74 ms
+full resample on the Q=3 tier (one-scatter ranking + in-kernel base
+add, r3; prep stages: starts 0.03 + rank 0.17 + mega-array ~0 +
+Q-row gather 0.15, kernel+output ≈ 0.44) vs 0.92 ms (Q=4, two-scatter
+ranking, XLA-side base add) / ~2.3 ms (fori_loop + per-sub transposes,
+r2) / ~2.8 ms (block-dense Pallas) / ~9 ms (XLA scatter), all inside a
 ``lax.scan``.
 
 Finer decompositions were tried and REJECTED on measurement: (a) in-kernel
@@ -65,16 +72,19 @@ from particle_filters_tpu.core.weights import log_normalize
 from particle_filters_tpu.resampling.hard import _systematic_starts
 
 _SUB = 128  # outputs per sub-group (= fine chunk width = lane width)
-_QROWS = 4  # fine-chunk rows gathered per sub-group
+_QROWS = 3  # fine-chunk rows gathered per sub-group (primary tier)
+_QROWS_MID = 8  # middle-tier window for moderate degeneracy
 _SG = 64  # sub-groups per pallas grid step
 
 
 def _resample_kernel(
     s_win_ref,  # (1, SG, Q*128) f32 VMEM: per-sub window starts
     d_win_ref,  # (1, SG, d, Q*128) f32 VMEM: per-sub window diffs
+    base_ref,  # (1, 1, SG*d) f32 VMEM: per-sub chunk bases
     out_ref,  # (1, SG*d, 128) f32 VMEM: per-sub output rows
     *,
     d_dim: int,
+    sg: int,
 ):
     # Structure notes (all slope-measured at N=2^20, r3):
     # - The loop over the SG sub-groups is UNROLLED python, not fori_loop,
@@ -84,8 +94,14 @@ def _resample_kernel(
     #   transpose before the output write — spent ~1.8 ms/resample on
     #   8192 tiny relayouts + loop overhead; this form runs the whole
     #   resample in ~0.3 ms. The window width barely matters next to
-    #   that (q2 measured SLOWER than q4 here — lane-dim 256 vectorizes
-    #   worse than 512 — so there is no narrow-window cascade).
+    #   that. Kernel-only slope times at N=2^20 (exp_kernel_var, r3):
+    #   Q=4 0.355 ms, Q=3 0.282 ms, SG=128 within noise of SG=64; the
+    #   in-kernel transpose and the select are both ~free (sum-only and
+    #   no-transpose variants measured within 3%).
+    # - The chunk base is added IN the kernel (one broadcast add over the
+    #   (128, SG·d) accumulator): doing it XLA-side costs a separate
+    #   4 MB broadcast+add pass, and for d=1 forces a (…, 128, 1)
+    #   relayout — together ~0.19 ms of the old 0.92 ms total.
     # - An MXU variant — cast the predicate to 0/1 f32 and dot it against
     #   the diffs — was tried and REVERTED: the contraction runs over the
     #   predicate's LANE dim, which Mosaic realizes with an in-kernel
@@ -96,9 +112,9 @@ def _resample_kernel(
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0).astype(
         jnp.float32
     )
-    base = (sup * _SG * _SUB).astype(jnp.float32)
+    base = (sup * sg * _SUB).astype(jnp.float32)
     cols = []
-    for i in range(_SG):
+    for i in range(sg):
         pos = base + jnp.float32(i * _SUB) + iota_s  # (128, 1) global
         # positions (exact in f32 < 2^24)
         s = s_win_ref[0, pl.ds(i, 1), :]  # (1, Q*128)
@@ -109,17 +125,25 @@ def _resample_kernel(
             masked = jnp.where(C, jnp.broadcast_to(dl, C.shape), 0.0)
             cols.append(jnp.sum(masked, axis=1, keepdims=True))  # (128, 1)
     acc = jnp.concatenate(cols, axis=1)  # (128, SG*d)
+    acc = acc + base_ref[0]  # broadcast (1, SG*d) chunk bases
     out_ref[0, :, :] = acc.T  # ONE relayout per grid step
 
 
-def _blocked_pallas_path(starts, particles, a0, n, n_subs_pad):
+def _blocked_pallas_path(starts, particles, a0, n, n_subs_pad, qrows):
     """One Q-row gather per sub-group + the dense per-sub Pallas kernel."""
-    num_super = n_subs_pad // _SG
     d = particles.shape[1]
+    # Shrink the per-grid-step sub-group count when the windows would
+    # outgrow VMEM (wide windows x high-dim particles): keep the d_win
+    # block under ~2 MB. n_subs_pad is a multiple of _SG = 64, so any
+    # power-of-two sg <= 64 divides it.
+    sg = _SG
+    while sg > 8 and sg * d * qrows * _SUB * 4 > (2 << 20):
+        sg //= 2
+    num_super = n_subs_pad // sg
 
     # --- fine-chunk mega array: [starts | diffs | chunk base] ------------
     n_fc = -(-n // _SUB)
-    n_fc_ext = n_fc + _QROWS  # sentinel chunks past the end
+    n_fc_ext = n_fc + qrows  # sentinel chunks past the end
     n_ext = n_fc_ext * _SUB
     big = jnp.float32(n_subs_pad * _SUB + 256)
     starts_f = jnp.concatenate(
@@ -144,57 +168,105 @@ def _blocked_pallas_path(starts, particles, a0, n, n_subs_pad):
 
     # --- THE gather: Q consecutive mega rows per sub-group ---------------
     row_idx = (
-        a0[:, None] + jnp.arange(_QROWS, dtype=jnp.int32)[None, :]
+        a0[:, None] + jnp.arange(qrows, dtype=jnp.int32)[None, :]
     ).reshape(-1)
     g_all = jnp.take(mega, row_idx, axis=0).reshape(
-        n_subs_pad, _QROWS, _SUB * (1 + d) + d
+        n_subs_pad, qrows, _SUB * (1 + d) + d
     )
 
     # --- static-slice the gathered rows back apart (no gathers) ----------
-    s_win = g_all[:, :, :_SUB].reshape(num_super, _SG, _QROWS * _SUB)
+    s_win = g_all[:, :, :_SUB].reshape(num_super, sg, qrows * _SUB)
     d_win = (
         g_all[:, :, _SUB : _SUB * (1 + d)]
-        .reshape(n_subs_pad, _QROWS * _SUB, d)
+        .reshape(n_subs_pad, qrows * _SUB, d)
         .transpose(0, 2, 1)  # (…, d, Q·128)
-        .reshape(num_super, _SG, d, _QROWS * _SUB)
+        .reshape(num_super, sg, d, qrows * _SUB)
     )
-    bases = g_all[:, 0, _SUB * (1 + d) :]  # (n_subs_pad, d)
+    # Per-sub chunk bases, row-major (sub, dim) to match the kernel's
+    # accumulator column order.
+    bases = g_all[:, 0, _SUB * (1 + d) :].reshape(num_super, 1, sg * d)
 
     out = pl.pallas_call(
-        functools.partial(_resample_kernel, d_dim=d),
+        functools.partial(_resample_kernel, d_dim=d, sg=sg),
         grid=(num_super,),
         in_specs=[
             pl.BlockSpec(
-                (1, _SG, _QROWS * _SUB),
+                (1, sg, qrows * _SUB),
                 lambda s: (s, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, _SG, d, _QROWS * _SUB),
+                (1, sg, d, qrows * _SUB),
                 lambda s: (s, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, sg * d),
+                lambda s: (s, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, _SG * d, _SUB), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+            (1, sg * d, _SUB), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (num_super, _SG * d, _SUB), jnp.float32
+            (num_super, sg * d, _SUB), jnp.float32
         ),
-    )(s_win, d_win)
+    )(s_win, d_win, bases)
 
-    # (S, SG·d, 128) rows ordered (sub, dim) → (N_pad, d); add back the
-    # chunk base via broadcast + reshape (relayout only — jnp.repeat would
-    # be a ~9 ms gather).
-    out = (
-        out.reshape(num_super, _SG, d, _SUB)
-        .transpose(0, 1, 3, 2)
-        .reshape(n_subs_pad * _SUB, d)
+    # (S, SG·d, 128) rows ordered (sub, dim) → (N_pad, d). Bases are
+    # already added in-kernel; for d=1 the row-major order IS the output
+    # order, so this is a pure reshape (no relayout pass).
+    if d == 1:
+        out = out.reshape(n_subs_pad * _SUB, 1)
+    else:
+        out = (
+            out.reshape(num_super, sg, d, _SUB)
+            .transpose(0, 1, 3, 2)
+            .reshape(n_subs_pad * _SUB, d)
+        )
+    return out[:n].astype(particles.dtype)
+
+
+def _rank_window(scf, n_subs_pad):
+    """Fine chunks (a0, a_hi) of each sub-group's first/last ancestor.
+
+    Ranks every sub-group boundary among the sorted fine-chunk leading
+    starts ``scf`` — NOT with an (n_subs × n_fc) dense compare (67M VPU
+    ops at N=2^20, ~0.3 ms) but by inverting sorted scf with the same
+    scatter+cumsum trick the resampler itself uses, in ONE 2-wide scatter
+    (XLA's serial scatter cost scales with rows, so two 1-wide scatters
+    cost ~2x; slope-measured 0.138 -> 0.058 ms at N=2^20,
+    benchmarks/exp_rank_q.py):
+
+      rank_hi[s] = #{scf <= 128·s+127} = #{floor(scf/128) <= s}
+      rank_lo[s] = #{scf <= 128·s}     = rank_hi[s-1] + #{scf == 128·s}
+
+    so marks at floor(scf/128) with values [1, scf%128==0] give both
+    ranks after one blocked cumsum. a0 = fine chunk of the sub-group's
+    first ancestor; a_hi at its last REAL position detects span overflow
+    exactly (the probe min(128·s+127, n−1) is conservative-exact for the
+    ragged final sub-group: scf entries in (n−1, 128·s+127] could only
+    be padded sentinels, clipped below, never real chunks). Both match
+    the dense-compare definition bit-for-bit
+    (tests/unit/test_resampling.py::test_span_ranks_match_dense_compare).
+    """
+    scf_cl = jnp.clip(scf, 0, n_subs_pad * _SUB)  # sentinels -> top bucket
+    c_hi = scf_cl // _SUB  # floor(scf/128) in [0, n_subs_pad]
+    aligned = (scf_cl % _SUB == 0).astype(jnp.int32)
+    marks = jnp.zeros((n_subs_pad + 1, 2), jnp.int32).at[c_hi].add(
+        jnp.stack([jnp.ones_like(c_hi), aligned], axis=1),
+        indices_are_sorted=True,
+        mode="drop",
     )
-    base_bc = jnp.broadcast_to(
-        bases[:, None, :], (n_subs_pad, _SUB, d)
-    ).reshape(n_subs_pad * _SUB, d)
-    return (out + base_bc)[:n].astype(particles.dtype)
+    rank_hi = blocked_cumsum(marks[:, 0])
+    rank_lo = (
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), rank_hi[:-1]])
+        + marks[:, 1]
+    )
+    a0 = jnp.maximum(rank_lo[:-1] - 1, 0)  # (n_subs_pad,)
+    a_hi = rank_hi[:-1] - 1
+    return a0, a_hi
 
 
 def systematic_resample_values_blocked(
@@ -251,45 +323,33 @@ def systematic_resample_values_blocked(
     starts_pad = jnp.concatenate([starts, jnp.full((pad,), jnp.int32(2**30))])
     scf = starts_pad.reshape(n_fc, _SUB)[:, 0]  # (n_fc,)
 
-    # Rank every sub-group boundary among scf — NOT with an (n_subs × n_fc)
-    # dense compare (67M VPU ops at N=2^20, ~0.3 ms) but by inverting the
-    # sorted scf with the same scatter+cumsum trick the resampler itself
-    # uses: #{m : scf_m <= k} = #{m : ceil(scf_m / 128) <= k/128} for the
-    # aligned boundaries k = 128·s, so marks at ceil(scf/128) (and at
-    # floor(scf/128) for the last-real-position probe) cumsum to the
-    # ranks in O(n_fc) work. a0 = fine chunk of the sub-group's first
-    # ancestor; a_hi at its last REAL position detects span overflow
-    # exactly (both match the dense-compare definition bit-for-bit).
-    scf_cl = jnp.clip(scf, 0, n_subs_pad * _SUB)  # sentinels -> top bucket
-    c_lo = (scf_cl + (_SUB - 1)) // _SUB  # ceil(scf/128)  in [0, n_subs_pad]
-    marks_lo = jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_lo].add(
-        1, indices_are_sorted=True, mode="drop"
-    )
-    rank_lo = jnp.cumsum(marks_lo)  # rank_lo[s] = #{scf <= 128·s}
-    a0 = jnp.maximum(rank_lo[:-1] - 1, 0)  # (n_subs_pad,)
-
-    # probe = min(128·s + 127, n−1); for full sub-groups floor(scf/128)
-    # buckets give #{scf <= 128·s + 127}. The final (ragged) sub-group's
-    # probe n−1 is conservative-exact: scf entries in (n−1, 128·s+127]
-    # could only be the padded sentinels (clipped above), never real
-    # chunks, so the floor-bucket rank equals the dense-compare rank.
-    c_hi = scf_cl // _SUB
-    marks_hi = jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_hi].add(
-        1, indices_are_sorted=True, mode="drop"
-    )
-    rank_hi = jnp.cumsum(marks_hi)
-    a_hi = rank_hi[:-1] - 1
+    a0, a_hi = _rank_window(scf, n_subs_pad)
     span = jnp.max(a_hi - a0)
 
-    # The 4-row window tolerates 4x local weight deficiency inside any
-    # 128-output sub-group; anything worse (pathological degeneracy) takes
-    # the exact XLA telescoping fallback. Both produce identical ancestry
-    # (same starts). A narrower Q=2 window was measured SLOWER than Q=4
-    # (lane-dim 256 vectorizes worse than 512), so there is no cascade.
+    # Three tiers, routed at runtime on the exact span (chunks touched =
+    # span+1). Measured max chunks touched at N=2^20 over lognormal
+    # weights softmax(σ·z) — the span is BIMODAL in the ESS fraction:
+    #   ESS/N   0.94  0.37  0.33 | 0.30  0.24  0.19  0.15  0.12 | 0.03
+    #   chunks     3     3     3 |    4     4     5     6     7 |   29
+    # An adaptive trigger at ESS<N/2 usually lands in the left block, so
+    # the Q=3 tier is the common case; the Q=8 middle tier covers the
+    # moderate-degeneracy band down to ESS ≈ 0.12·N; past that spans blow
+    # through any fixed window and the exact XLA telescoping fallback
+    # runs. All three produce identical ancestry (same starts).
     def fast(_):
-        return _blocked_pallas_path(starts, particles, a0, n, n_subs_pad)
+        return _blocked_pallas_path(
+            starts, particles, a0, n, n_subs_pad, _QROWS
+        )
+
+    def mid(_):
+        return _blocked_pallas_path(
+            starts, particles, a0, n, n_subs_pad, _QROWS_MID
+        )
 
     def slow(_):
         return slow_path(starts, particles)
 
-    return lax.cond(span < _QROWS, fast, slow, None)
+    tier = (span >= _QROWS).astype(jnp.int32) + (
+        span >= _QROWS_MID
+    ).astype(jnp.int32)
+    return lax.switch(tier, [fast, mid, slow], None)

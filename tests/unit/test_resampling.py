@@ -421,20 +421,8 @@ class TestBlockedPallasResample:
                 [starts, jnp.full((pad,), jnp.int32(2**30))]
             ).reshape(n_subs, rp._SUB)[:, 0]
 
-            # module's scatter+cumsum ranks
-            scf_cl = jnp.clip(scf, 0, n_subs_pad * rp._SUB)
-            c_lo = (scf_cl + (rp._SUB - 1)) // rp._SUB
-            a0 = jnp.maximum(jnp.cumsum(
-                jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_lo].add(
-                    1, indices_are_sorted=True, mode="drop"
-                )
-            )[:-1] - 1, 0)
-            c_hi = scf_cl // rp._SUB
-            a_hi = jnp.cumsum(
-                jnp.zeros((n_subs_pad + 1,), jnp.int32).at[c_hi].add(
-                    1, indices_are_sorted=True, mode="drop"
-                )
-            )[:-1] - 1
+            # module's one-scatter + blocked-cumsum ranks
+            a0, a_hi = rp._rank_window(scf, n_subs_pad)
 
             # dense-compare oracle (the r2 implementation's definition)
             k0 = jnp.arange(n_subs_pad, dtype=jnp.int32) * rp._SUB
@@ -454,6 +442,43 @@ class TestBlockedPallasResample:
         # n not a multiple of the 512 output block: pad blocks must not
         # flag spuriously and the tail outputs must still be exact
         self._run(jax.random.fold_in(key, 8), 3000, 1, 2.0)
+
+    def test_mid_tier_exact(self, key):
+        """Ancestor spans in [Q, Q_MID) must route to the Q=8 middle tier
+        and still reproduce the reference ancestry exactly. Weights are
+        constructed so one sub-group's ancestors span ~6 fine chunks
+        (a 640-particle near-zero-weight run starting mid-sub-group, so
+        the group consumes real ancestors on both sides of the gap),
+        which overflows Q=3 but fits Q=8 — the routing is asserted via
+        the module's own span."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from particle_filters_tpu.ops import resample_pallas as rp
+        from particle_filters_tpu.resampling.hard import (
+            _systematic_starts,
+            systematic_resample,
+        )
+
+        n = 4096
+        w = jnp.ones((n,)).at[64:704].set(1e-6)
+        w = w / jnp.sum(w)
+        p = jax.random.normal(jax.random.fold_in(key, 3), (n, 2))
+
+        # prove this case exercises the middle tier, not fast or fallback
+        starts = _systematic_starts(key, w, n)
+        n_subs = -(-n // rp._SUB)
+        n_subs_pad = -(-n_subs // rp._SG) * rp._SG
+        scf = starts.reshape(n_subs, rp._SUB)[:, 0]
+        a0, a_hi = rp._rank_window(scf, n_subs_pad)
+        span = int(jnp.max(a_hi - a0))
+        assert rp._QROWS <= span < rp._QROWS_MID
+
+        v_ref = jnp.take(p, systematic_resample(key, w), axis=0)
+        with pltpu.force_tpu_interpret_mode():
+            v_blk = rp.systematic_resample_values_blocked(key, p, w=w)
+        np.testing.assert_allclose(
+            np.asarray(v_ref), np.asarray(v_blk), atol=1e-4
+        )
 
     def test_degenerate_routes_to_fallback(self, key):
         from jax.experimental.pallas import tpu as pltpu

@@ -43,6 +43,31 @@ class TestBlockedResampleOnTPU:
                 np.asarray(v_ref), np.asarray(v_blk), atol=1e-4
             )
 
+    def test_mid_tier_matches_reference(self, tpu_jax):
+        """Spans in [Q, Q_MID) route to the compiled Q=8 middle tier on
+        device; ancestry must still match the hard-path reference. The
+        640-particle near-zero-weight run starting mid-sub-group forces a
+        ~6-chunk span (see tests/unit/test_resampling.py::test_mid_tier_exact
+        for the span assertion under interpret mode)."""
+        jax = tpu_jax
+        import jax.numpy as jnp
+
+        from particle_filters_tpu.ops.resample_pallas import (
+            systematic_resample_values_blocked,
+        )
+        from particle_filters_tpu.resampling.hard import systematic_resample
+
+        key = jax.random.PRNGKey(17)
+        n = 65_536
+        w = jnp.ones((n,)).at[64:704].set(1e-6)
+        w = w / jnp.sum(w)
+        p = jax.random.normal(jax.random.fold_in(key, 1), (n, 2))
+        v_ref = jnp.take(p, systematic_resample(key, w), axis=0)
+        v_blk = systematic_resample_values_blocked(key, p, w=w)
+        np.testing.assert_allclose(
+            np.asarray(v_ref), np.asarray(v_blk), atol=1e-4
+        )
+
     def test_degenerate_fallback(self, tpu_jax):
         jax = tpu_jax
         import jax.numpy as jnp
