@@ -97,7 +97,7 @@ def main():
 
         @jax.jit
         def run():
-            (pt, lwc), hist = pf.run(jax.random.PRNGKey(3), state0, zs)
+            (pt, lwc, _), hist = pf.run(jax.random.PRNGKey(3), state0, zs)
             return jnp.sum(hist["mean"]) + pt[0, 0]
         return run
 

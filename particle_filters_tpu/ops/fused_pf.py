@@ -9,10 +9,14 @@ into ONE pass over the particle arrays:
     → per-block weight partials (max, Σe, Σe², Σe·x, Σe·x⊗x)
 
 so the step reads 8 MB, writes 8 MB + tiny partials, and never touches HBM
-again. Log-weights stay UNNORMALIZED in the carry (the per-step
-log-normalizer comes out of the partials for free); ESS / posterior
-mean / cov are computed exactly from the partials. Resampling reuses the
-blocked kernel from ``resample_pallas.py`` under ``lax.cond``.
+again. Weight normalization is LAZY: the carry holds the raw kernel
+output plus two scalars (pending log-normalizer, post-resample uniform
+flag) that the NEXT kernel call folds in — the run loop never spends a
+separate HBM pass renormalizing weights or filling them uniform (each
+such pass is 8 MB of traffic at N=2²⁰, ~20% of the no-resample step).
+ESS / posterior mean / cov are computed exactly from per-block partials.
+Resampling reuses the blocked kernel from ``resample_pallas.py`` under
+``lax.cond``.
 
 Constraints of the fused path (``FusedSIRFilter``):
 - particle-pointwise models: ``g_vec`` and ``obs_loglik_vec`` act
@@ -58,6 +62,7 @@ def _bits_to_unit_open(bits):
 
 def _fused_kernel(
     seed_ref,  # (1, 1) int32 SMEM: per-step seed
+    off_ref,  # (1, 2) f32 SMEM: (pending log-normalizer, uniform flag)
     z_ref,  # (1, 128) f32 VMEM: observation (padded)
     p_ref,  # (nx, B) f32 VMEM: particle block (transposed layout)
     lw_ref,  # f32 VMEM unnormalized log-weights: (8, B/8) for nx=1, (1, B) else
@@ -69,6 +74,7 @@ def _fused_kernel(
     obs_ll_vec: Callable,
     Lq: np.ndarray,  # (nx, nx) static
     nx: int,
+    n_total: int,
 ):
     b = pl.program_id(0)
     # Two-word seed (step_seed, block_id): additive seed+b would let block
@@ -122,7 +128,19 @@ def _fused_kernel(
     # (8, B/8) layout; for nx>1 it maps the (nx, B) block to (B,) / (1, B),
     # matching the single-row log-weight carry.
     loglik = obs_ll_vec(x_new, z)
-    lw = lw_ref[:, :] + loglik.reshape(lw_ref.shape)
+    # Incoming log-weight: either the carried array minus the PENDING
+    # log-normalizer of the previous step (off[0]) — folded in here so the
+    # run loop never spends a separate HBM pass renormalizing — or, right
+    # after a resample (off[1] > 0), the implicit uniform −log N (the
+    # resample branch never writes a 4 MB uniform fill either).
+    off = off_ref[0, 0]
+    uniform = off_ref[0, 1]
+    lw_in = jnp.where(
+        uniform > 0.5,
+        jnp.float32(-np.log(n_total)),
+        lw_ref[:, :] - off,
+    )
+    lw = lw_in + loglik.reshape(lw_ref.shape)
     lw_out[:, :] = lw
 
     # --- weight partials relative to the block max -----------------------
@@ -178,7 +196,9 @@ class FusedSIRFilter:
     API mirrors ``ParticleFilter`` where it matters: ``initialize`` then
     ``run(key, state, zs)`` returning the same history dict
     (mean/cov/ess/resampled). Internally particles ride an (nx, N)
-    lane-major layout and log-weights stay unnormalized between steps.
+    lane-major layout; weight normalization is lazy (see module docstring)
+    — use :meth:`effective_logw` to materialize a state's true normalized
+    log-weights.
     """
 
     def __init__(
@@ -235,13 +255,31 @@ class FusedSIRFilter:
         logw = jnp.full(
             (self.wrows, self.wcols), -jnp.log(jnp.float32(self.Np))
         )
-        return particles_t, logw
+        # Third carry leg: (pending log-normalizer, uniform flag). The
+        # kernel consumes it so the run loop never spends an HBM pass
+        # renormalizing log-weights or filling them uniform after a
+        # resample. Initial weights are uniform AND normalized: (0, 0).
+        return particles_t, logw, jnp.zeros(2, jnp.float32)
 
-    def _fused_step(self, seed, particles_t, logw, z):
+    def effective_logw(self, state):
+        """Materialize a carry state's true normalized log-weights.
+
+        The run loop itself never does this (the kernel folds the pending
+        scalars in); this is for consumers inspecting or persisting state.
+        """
+        _, logw, off_u = state
+        return jnp.where(
+            off_u[1] > 0.5,
+            jnp.full_like(logw, -jnp.log(jnp.float32(self.Np))),
+            logw - off_u[0],
+        )
+
+    def _fused_step(self, seed, off_uniform, particles_t, logw, z):
         n_blocks = self.Np // self.block
         nz = z.shape[0]
         z_pad = jnp.zeros((1, 128), jnp.float32).at[0, :nz].set(z)
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        off_arr = jnp.asarray(off_uniform, jnp.float32).reshape(1, 2)
 
         kern = functools.partial(
             _fused_kernel,
@@ -249,12 +287,14 @@ class FusedSIRFilter:
             obs_ll_vec=self.obs_loglik_vec,
             Lq=self.Lq,
             nx=self.nx,
+            n_total=self.Np,
         )
         p_new, lw_new, partials = pl.pallas_call(
             kern,
             grid=(n_blocks,),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda b: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (self.rows, self.bcols), lambda b: (0, b), memory_space=pltpu.VMEM
@@ -279,14 +319,14 @@ class FusedSIRFilter:
                 # the lane-tiling rule; reshaped to (n_blocks, 128) below.
                 jax.ShapeDtypeStruct((1, n_blocks * 128), jnp.float32),
             ),
-        )(seed_arr, z_pad, particles_t, logw)
+        )(seed_arr, off_arr, z_pad, particles_t, logw)
         partials = partials.reshape(n_blocks, 128)
         log_z, ess, mean, cov = _combine_partials(partials, self.nx)
         return p_new, lw_new, log_z, ess, mean, cov
 
     def run(self, key, state, zs):
         """Filter a (T, nz) sequence; history mirrors ``ParticleFilter.run``."""
-        particles_t0, logw0 = state
+        particles_t0, logw0, off_u0 = state
         T = zs.shape[0]
         seeds = jax.random.randint(
             key, (T,), minval=0, maxval=np.int32(2**31 - 1), dtype=jnp.int32
@@ -294,10 +334,10 @@ class FusedSIRFilter:
         res_keys = jax.random.split(jax.random.fold_in(key, 1), T)
 
         def body(carry, inp):
-            particles_t, logw = carry
+            particles_t, logw, off_u = carry
             seed, rkey, z = inp
             particles_t, logw, log_z, ess, mean, cov = self._fused_step(
-                seed, particles_t, logw, z
+                seed, off_u, particles_t, logw, z
             )
             trigger = ess < self.resample_thresh * self.Np
 
@@ -307,39 +347,42 @@ class FusedSIRFilter:
                 p_new = systematic_resample_values_blocked(
                     k, p, logw=lw.reshape(self.Np)
                 )
-                pt_new = (
+                return (
                     p_new.T if self.nx > 1
                     else p_new.reshape(self.rows, self.cols)
                 )
-                # uniform AND normalized (logsumexp == 0) — keeps the next
-                # step's log_z equal to the incremental evidence
-                return pt_new, jnp.full_like(
-                    lw, -jnp.log(jnp.float32(self.Np))
-                )
 
             def no_res(op):
-                _, pt, lw = op
-                # keep unnormalized weights bounded: subtract the current
-                # log-normalizer (a no-op up to the shared constant)
-                return pt, lw - log_z
+                _, pt, _ = op
+                return pt
 
-            particles_t, logw = lax.cond(
+            particles_t = lax.cond(
                 trigger, do_res, no_res, (rkey, particles_t, logw)
+            )
+            # Weight bookkeeping is two SCALARS, not array passes: after a
+            # resample the carry log-weights are stale and the next kernel
+            # call substitutes the implicit uniform −log N (flag = 1);
+            # otherwise the kernel subtracts the pending log-normalizer so
+            # the carried weights re-enter normalized (logsumexp == 0).
+            off_u = jnp.where(
+                trigger,
+                jnp.array([0.0, 1.0], jnp.float32),
+                jnp.stack([log_z, jnp.float32(0.0)]),
             )
             hist = {
                 "mean": mean,
                 "cov": cov,
                 "ess": ess,
                 "resampled": trigger,
-                # carry log-weights stay normalized (logsumexp == 0), so the
+                # effective carry log-weights stay normalized, so the
                 # block-partial log-normalizer is exactly the incremental
                 # log-evidence log p(z_t | z_{1:t-1}) — ParticleFilter.run's
                 # convention (VERDICT r2 weak #6).
                 "log_evidence": log_z,
             }
-            return (particles_t, logw), hist
+            return (particles_t, logw, off_u), hist
 
-        (particles_t, logw), hist = lax.scan(
-            body, (particles_t0, logw0), (seeds, res_keys, zs)
+        (particles_t, logw, off_u), hist = lax.scan(
+            body, (particles_t0, logw0, off_u0), (seeds, res_keys, zs)
         )
-        return (particles_t, logw), hist
+        return (particles_t, logw, off_u), hist

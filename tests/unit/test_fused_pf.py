@@ -107,13 +107,14 @@ class TestFusedFilterInterpret:
         f = _make_fused(1024, block=512, resample_thresh=2.0)  # always
         st = f.initialize(key, np.zeros(1), np.array([[0.21]]))
         with pltpu.force_tpu_interpret_mode():
-            (pt, lw), hist = f.run(
+            st_out, hist = f.run(
                 jax.random.fold_in(key, 1), st, jnp.full((2, 1), 3.0)
             )
         assert bool(hist["resampled"][0]) and bool(hist["resampled"][1])
-        # normalized-uniform convention: logsumexp == 0, each -log(Np)
+        # normalized-uniform convention: logsumexp == 0, each -log(Np).
+        # The carry keeps uniformity as a flag; effective_logw materializes.
         np.testing.assert_allclose(
-            np.asarray(lw), -np.log(1024.0), atol=1e-6
+            np.asarray(f.effective_logw(st_out)), -np.log(1024.0), atol=1e-6
         )
 
     def test_nx2_matches_generic_pf(self, key):
@@ -147,7 +148,7 @@ class TestFusedFilterInterpret:
         st = f.initialize(key, np.zeros(2), 0.3 * np.eye(2))
         assert st[1].shape == (1, Np)  # one log-weight per particle
         with pltpu.force_tpu_interpret_mode():
-            (pt, lw), hist = f.run(jax.random.fold_in(key, 1), st, zs)
+            _, hist = f.run(jax.random.fold_in(key, 1), st, zs)
         assert hist["mean"].shape == (T, 2)
         assert hist["cov"].shape == (T, 2, 2)
         rmse_fused = float(
@@ -182,11 +183,11 @@ class TestFusedFilterInterpret:
         st = f.initialize(key, np.zeros(2), np.eye(2))
         zs = jnp.full((3, 2), 1.5)
         with pltpu.force_tpu_interpret_mode():
-            (pt, lw), hist = f.run(jax.random.fold_in(key, 1), st, zs)
+            st_out, hist = f.run(jax.random.fold_in(key, 1), st, zs)
         assert np.all(np.asarray(hist["resampled"]))
         # normalized-uniform convention: logsumexp == 0, each -log(Np)
         np.testing.assert_allclose(
-            np.asarray(lw), -np.log(1024.0), atol=1e-6
+            np.asarray(f.effective_logw(st_out)), -np.log(1024.0), atol=1e-6
         )
         # posterior mean pulled toward the (1.5, 1.5) observations
         assert float(hist["mean"][-1, 0]) > 0.5
