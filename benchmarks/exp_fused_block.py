@@ -6,6 +6,12 @@ floor carries ~2x of overhead — is it per-grid-step overhead (fewer,
 bigger blocks should win) or fixed dispatch cost (block size won't
 matter)? Times bench.py's exact workload by its per-run scalar-sync
 protocol at several block sizes.
+
+MEASURED (r3, quiet host): 32768 0.052 / 65536 0.055 / 131072 0.052 /
+262144 0.049 / 524288 0.062 / 1048576 0.064 ms/step — flat within the
+tunnel's ±10% noise until blocks outgrow VMEM-friendly sizes, so block
+size is NOT the floor's lever (the residual is fixed per-step dispatch
+plus the partials-combine bubble); the 65536 default stands.
 """
 
 import os

@@ -57,9 +57,14 @@ ll = lambda z, x: mvn_logpdf_chol(z, x, SZ * I)
 ns = lambda k, n, nx: jax.random.normal(k, (n, nx)) @ LQ.T
 key = jax.random.PRNGKey(0)
 
+# The notebook's SNLG overrides of the shared config defaults: 4 lambda
+# steps and ESS/N < 0.5 resampling for both flows (EDH keeps default RK4).
 for name, cls, cfg, ref in [
-    ("EDH-200", EDHFlowPF, EDHConfig(n_particles=200, flow_integrator="euler"), 0.6510),
-    ("LEDH-200", LEDHFlowPF, LEDHConfig(n_particles=200), 0.6512),
+    ("EDH-200", EDHFlowPF,
+     EDHConfig(n_particles=200, n_lambda_steps=4), 0.6510),
+    ("LEDH-200", LEDHFlowPF,
+     LEDHConfig(n_particles=200, n_lambda_steps=4, resample_ess_ratio=0.5),
+     0.6512),
 ]:
     ekf = ExtendedKalmanFilter(lambda x, u: AL * x, h, Sigma, R)
     tracker = GaussianTracker(ekf)

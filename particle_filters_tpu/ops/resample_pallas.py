@@ -54,6 +54,18 @@ dynamic-shift ``pltpu.roll`` row selection (bench regressed 3.7e9 →
 2.2e9 particle-steps/s). On this VPU the fixed overhead of many small
 per-group scalar/select/roll ops exceeds their op-count savings every
 time; one dense well-shaped compare per 128 outputs is the sweet spot.
+
+(d, r3) Replacing the XLA Q-row gather with ONE contiguous in-kernel DMA
+per 64-sub grid step — the needed mega rows span only 67–94 rows even at
+ESS = 0.002·N (measured, ``benchmarks/exp_resample_dma.py``), so a
+128-row HBM→VMEM copy covers every tier — fails on a Mosaic limitation,
+not on the data: per-sub windowing then needs (1, 128) loads at DYNAMIC
+sublane offsets, which Mosaic rejects ("Invalid input layout" on
+``vector.load``), and slicing lanes out of a wider loaded value breaks
+the downstream (1,128)→(128,128) broadcast layout the compare needs.
+The workarounds are exactly the rejected patterns above (per-sub tiny
+DMAs ≈ (a)/(b); dynamic roll = (c)), so the XLA row gather — 0.15 ms of
+the 0.74 — stays.
 """
 
 from __future__ import annotations
