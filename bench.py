@@ -103,14 +103,17 @@ def main() -> None:
     )
 
     # Timed runs (scalar-sync per run; subtract the sync floor).
+    # A chained variant (4 runs behind one sync, run_benchmarks.py::timed
+    # style) was measured and does NOT read lower here — async dispatch
+    # already pipelines the next run behind the in-flight one, so the
+    # per-run protocol is not over-charging dispatch. Clamp: an unclamped
+    # subtraction of a noisy RPC-floor estimate could yield a negative
+    # time and an inflated/infinite throughput.
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         final, hist = run(keys[1 + i], state0)
         float(hist["mean"][0, 0])
-        # Clamp: an unclamped subtraction of a noisy RPC-floor estimate
-        # could yield a negative time and an inflated/infinite throughput
-        # (matches benchmarks/run_benchmarks.py::timed).
         times.append(max(time.perf_counter() - t0 - rpc, 1e-9))
     best = min(times)
 

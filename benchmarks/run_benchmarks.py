@@ -445,16 +445,23 @@ def bench_snlg():
     Sigma_np = np.asarray(Sigma_jax, np.float64)
     L_np = np.linalg.cholesky(Sigma_np)
     rng = np.random.default_rng(123)
-    Xr = np.zeros((TRIALS, T + 1, D))
-    Zr = np.zeros((TRIALS, T, D))
-    for r in range(TRIALS):
-        x = np.zeros(D)
-        for t in range(1, T + 1):
-            x = AL * x + L_np @ rng.standard_normal(D)
-            Xr[r, t] = x
-            Zr[r, t - 1] = x + SZ * rng.standard_normal(D)
-    X_ref = jnp.asarray(Xr, jnp.float32)
-    Z_ref = jnp.asarray(Zr, jnp.float32)
+
+    def sim_block(sz):
+        X = np.zeros((TRIALS, T + 1, D))
+        Z = np.zeros((TRIALS, T, D))
+        for r in range(TRIALS):
+            x = np.zeros(D)
+            for t in range(1, T + 1):
+                x = AL * x + L_np @ rng.standard_normal(D)
+                X[r, t] = x
+                Z[r, t - 1] = x + sz * rng.standard_normal(D)
+        return jnp.asarray(X, jnp.float32), jnp.asarray(Z, jnp.float32)
+
+    # The reference draws its noise-level blocks sequentially from ONE
+    # seed-123 PCG64 stream, sigma_z = 2.0 first, then 1.0 (its table's
+    # second column) — reproduce both blocks in that order.
+    X_ref, Z_ref = sim_block(SZ)
+    X_ref1, Z_ref1 = sim_block(1.0)
 
     I = jnp.eye(D)
     Sigma = jnp.asarray(Sigma_jax, jnp.float32)
@@ -470,6 +477,16 @@ def bench_snlg():
     )
     t_kf, kf_means = timed(kf_run, Z_ref)
     kf_mse = float(jnp.mean((kf_means - X_ref[:, 1:]) ** 2))
+
+    # KF at sigma_z = 1.0 (reference table's second noise level: 0.1918)
+    kf_run1 = jax.jit(
+        jax.vmap(
+            lambda Z: kalman_filter_general(
+                Z, AL * I, I, I, Sigma, 1.0 * I, x0=jnp.zeros(D), P0=Sigma
+            ).x_filt
+        )
+    )
+    kf_mse_sz1 = float(jnp.mean((kf_run1(Z_ref1) - X_ref1[:, 1:]) ** 2))
 
     ukf = UnscentedKalmanFilter(lambda x, u: AL * x, lambda x: x, Sigma, R, alpha=1.0)
     ukf_run = jax.jit(
@@ -496,6 +513,7 @@ def bench_snlg():
         "kf_total_s": t_kf,
         "ukf_total_s": t_ukf,
         "kf_mse": kf_mse,
+        "kf_mse_sz1": kf_mse_sz1,
         "ukf_mse": ukf_mse,
     }
     # The notebook overrides the shared defaults for SNLG: 4 lambda steps
@@ -528,7 +546,8 @@ def bench_snlg():
         "trials": 100,
         "kf_s": 0.01, "ukf_s": 0.22, "edh200_s": 1.98,
         "ledh200_s": 7.38, "edh10000_s": 90.9,
-        "kf_mse": 0.4958, "ukf_mse": 0.4958, "edh200_mse": 0.6510,
+        "kf_mse": 0.4958, "kf_mse_sz1": 0.1918,
+        "ukf_mse": 0.4958, "edh200_mse": 0.6510,
         "ledh200_mse": 0.6512, "edh10000_mse": 0.5340,
     }
     RESULTS["snlg_d64"] = out
