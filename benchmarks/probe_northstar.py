@@ -25,7 +25,7 @@ n_steps = 200
 alpha, sigma = 0.95, 0.2
 sv = simulate_sv_1d(n_steps, alpha, sigma, 1.0, seed=42)
 zs = sv.Y[:, None]
-N = 1 << 20
+N = 1 << int(os.environ.get("PF_LOG2N", "20"))
 
 trivial = jax.jit(lambda x: x + 1.0)
 float(trivial(jnp.float32(0)))

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from particle_filters_tpu.ops import resample_pallas as rp
 from particle_filters_tpu.resampling.hard import _systematic_starts
 
-N = 1 << 20
+N = 1 << int(os.environ.get("PF_LOG2N", "20"))
 
 
 def slope(label, build_loop, m_lo=8, m_hi=72, reps=4):
@@ -97,6 +97,9 @@ def _prep_stages(key, particles, w, stop_at):
             + overflow.astype(jnp.float32)
         )
 
+    # Mirrors the r3 split-arrays prep (three aligned-width gathers; the
+    # old single misaligned mega-array take measured 14x worse at 2^22 —
+    # exp_gather_width.py).
     n_fc_ext = n_fc + rp._QROWS
     n_ext = n_fc_ext * rp._SUB
     big = jnp.float32(n_subs_pad * rp._SUB + 256)
@@ -118,25 +121,28 @@ def _prep_stages(key, particles, w, stop_at):
     chunk_base = jnp.concatenate(
         [jnp.zeros((1, d), jnp.float32), p_pad[:-1, rp._SUB - 1, :]], axis=0
     )
-    mega = jnp.concatenate([starts_f, diffs, chunk_base], axis=1)
     if stop_at == "C":
-        return mega[0, 0] + mega[-1, -1] + overflow.astype(jnp.float32)
+        return (
+            starts_f[0, 0]
+            + diffs[-1, -1]
+            + chunk_base[-1, 0]
+            + overflow.astype(jnp.float32)
+        )
 
     row_idx = (
         a0[:, None] + jnp.arange(rp._QROWS, dtype=jnp.int32)[None, :]
     ).reshape(-1)
-    g_all = jnp.take(mega, row_idx, axis=0).reshape(
-        n_subs_pad, rp._QROWS, rp._SUB * (1 + d) + d
-    )
     num_super = n_subs_pad // rp._SG
-    s_win = g_all[:, :, : rp._SUB].reshape(num_super, rp._SG, rp._QROWS * rp._SUB)
+    s_win = jnp.take(starts_f, row_idx, axis=0).reshape(
+        num_super, rp._SG, rp._QROWS * rp._SUB
+    )
     d_win = (
-        g_all[:, :, rp._SUB : rp._SUB * (1 + d)]
+        jnp.take(diffs, row_idx, axis=0)
         .reshape(n_subs_pad, rp._QROWS * rp._SUB, d)
         .transpose(0, 2, 1)
         .reshape(num_super, rp._SG, d, rp._QROWS * rp._SUB)
     )
-    bases = g_all[:, 0, rp._SUB * (1 + d) :]
+    bases = jnp.take(chunk_base, a0, axis=0)
     # stage D: full prep done; touch every output
     return s_win[0, 0, 0] + d_win[-1, -1, 0, -1] + bases[0, 0]
 

@@ -39,12 +39,14 @@ regular row gather:
 Per-output work is Q·128 compare+mac — 384 on the common Q=3 tier
 (ancestor spans measure ≤ 2 chunks on every resampling step of the
 north-star workload). Slope-measured at N=2^20, d=1
-(``benchmarks/profile_resample_split.py``, m=8→72 spread): ~0.74 ms
-full resample on the Q=3 tier (one-scatter ranking + in-kernel base
-add, r3; prep stages: starts 0.03 + rank 0.17 + mega-array ~0 +
-Q-row gather 0.15, kernel+output ≈ 0.44) vs 0.92 ms (Q=4, two-scatter
-ranking, XLA-side base add) / ~2.3 ms (fori_loop + per-sub transposes,
-r2) / ~2.8 ms (block-dense Pallas) / ~9 ms (XLA scatter), all inside a
+(``benchmarks/profile_resample_split.py``, m=8→72 spread): ~0.66 ms
+full resample on the Q=3 tier (split aligned gathers, r3b; prep
+stages: starts 0.04 + rank 0.08 + array builds ~0 + the three row
+gathers 0.17, kernel+output ≈ 0.37) vs 0.74 ms (single 257-wide
+mega-array gather — the misalignment penalty explodes with N: 4.37 ms
+at N=2^22 vs 2.87 ms split) / 0.92 ms (Q=4, two-scatter ranking,
+XLA-side base add) / ~2.3 ms (fori_loop + per-sub transposes, r2) /
+~2.8 ms (block-dense Pallas) / ~9 ms (XLA scatter), all inside a
 ``lax.scan``.
 
 Finer decompositions were tried and REJECTED on measurement: (a) in-kernel
@@ -142,7 +144,7 @@ def _resample_kernel(
 
 
 def _blocked_pallas_path(starts, particles, a0, n, n_subs_pad, qrows):
-    """One Q-row gather per sub-group + the dense per-sub Pallas kernel."""
+    """Three aligned Q-row gathers per sub-group + the dense Pallas kernel."""
     d = particles.shape[1]
     # Shrink the per-grid-step sub-group count when the windows would
     # outgrow VMEM (wide windows x high-dim particles): keep the d_win
@@ -153,7 +155,14 @@ def _blocked_pallas_path(starts, particles, a0, n, n_subs_pad, qrows):
         sg //= 2
     num_super = n_subs_pad // sg
 
-    # --- fine-chunk mega array: [starts | diffs | chunk base] ------------
+    # --- fine-chunk arrays: starts | diffs | chunk base -------------------
+    # Kept as THREE separate 128-multiple-width arrays, NOT one concatenated
+    # mega array: a single [starts|diffs|base] row is 128·(1+d)+d floats —
+    # misaligned with the lane tiling — and XLA's row gather degrades
+    # catastrophically on it (slope-measured jnp.take of Q=3-row windows at
+    # N=2^20: 0.094 ms at width 257 vs ~0 at widths 256/384/512 or as split
+    # aligned takes; at N=2^22 the misaligned gather was 2.1 ms of the
+    # 4.4 ms resample — benchmarks/exp_gather_width.py).
     n_fc = -(-n // _SUB)
     n_fc_ext = n_fc + qrows  # sentinel chunks past the end
     n_ext = n_fc_ext * _SUB
@@ -176,27 +185,23 @@ def _blocked_pallas_path(starts, particles, a0, n, n_subs_pad, qrows):
     chunk_base = jnp.concatenate(
         [jnp.zeros((1, d), jnp.float32), p_pad[:-1, _SUB - 1, :]], axis=0
     )  # (n_fc_ext, d) = p[m·128 − 1]
-    mega = jnp.concatenate([starts_f, diffs, chunk_base], axis=1)
 
-    # --- THE gather: Q consecutive mega rows per sub-group ---------------
+    # --- THE gathers: Q consecutive rows per sub-group --------------------
     row_idx = (
         a0[:, None] + jnp.arange(qrows, dtype=jnp.int32)[None, :]
     ).reshape(-1)
-    g_all = jnp.take(mega, row_idx, axis=0).reshape(
-        n_subs_pad, qrows, _SUB * (1 + d) + d
+    s_win = jnp.take(starts_f, row_idx, axis=0).reshape(
+        num_super, sg, qrows * _SUB
     )
-
-    # --- static-slice the gathered rows back apart (no gathers) ----------
-    s_win = g_all[:, :, :_SUB].reshape(num_super, sg, qrows * _SUB)
     d_win = (
-        g_all[:, :, _SUB : _SUB * (1 + d)]
+        jnp.take(diffs, row_idx, axis=0)
         .reshape(n_subs_pad, qrows * _SUB, d)
         .transpose(0, 2, 1)  # (…, d, Q·128)
         .reshape(num_super, sg, d, qrows * _SUB)
     )
     # Per-sub chunk bases, row-major (sub, dim) to match the kernel's
     # accumulator column order.
-    bases = g_all[:, 0, _SUB * (1 + d) :].reshape(num_super, 1, sg * d)
+    bases = jnp.take(chunk_base, a0, axis=0).reshape(num_super, 1, sg * d)
 
     out = pl.pallas_call(
         functools.partial(_resample_kernel, d_dim=d, sg=sg),
