@@ -187,7 +187,7 @@ class ParticleFilter:
         """Dispatch the single-shard resample implementation."""
         if self.resample_method == "systematic":
             if p.shape[0] >= 16384 and jax.default_backend() == "tpu":
-                # Pallas blocked kernel (~3 ms at N=1e6) — see
+                # Pallas blocked kernel (~0.66 ms at N=2^20) — see
                 # ops/resample_pallas.py.
                 from particle_filters_tpu.ops.resample_pallas import (
                     systematic_resample_values_blocked,

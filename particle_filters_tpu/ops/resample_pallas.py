@@ -19,9 +19,12 @@ regular row gather:
     leading starts with a dense compare-and-sum (VPU ops, no serial
     gathers). The same ranking at the sub-group's last REAL position
     detects span overflow exactly.
-3.  One row gather fetches the Q fine-chunk rows of a mega array
-    [starts (128) | particle diffs (128·d) | chunk base p_{m·128−1} (d)]
-    per sub-group.
+3.  Row gathers fetch the Q fine-chunk rows per sub-group from three
+    SEPARATE fine-chunk arrays — starts (128-wide), particle diffs
+    (128·d-wide), chunk bases p_{m·128−1} (d-wide) — kept apart so every
+    gathered row is a 128-multiple width (a single concatenated row is
+    misaligned with the lane tiling and XLA's gather collapses on it;
+    see the rejected-decompositions note).
 4.  The Pallas kernel computes, per sub-group,
         C[k, w] = (s_win[w] ≤ k)            (128 × Q·128 VPU compare)
         out[k]  = Σ_w C[k, w] · d_win[w]    (VPU multiply-reduce)
