@@ -7,7 +7,7 @@ separately from the Pallas kernel. This script splits it:
 
   stage A  weights (exp/log-normalize) + cumsum + starts
   stage B  A + fine-chunk leading starts + a0/a_hi ranking + overflow flag
-  stage C  B + mega-array build (concat starts|diffs|base)
+  stage C  B + fine-chunk array builds (starts / diffs / bases)
   stage D  C + the Q-row gather + window slicing   (= full prep, no kernel)
   full     systematic_resample_values_blocked       (prep + Pallas kernel)
 
@@ -193,7 +193,7 @@ def main():
     for st, label in [
         ("A", "A: weights+cumsum+starts   "),
         ("B", "B: A + a0/a_hi rank        "),
-        ("C", "C: B + mega-array build    "),
+        ("C", "C: B + fine-chunk arrays   "),
         ("D", "D: C + Q-row gather+slice  "),
     ]:
         if st in which:
