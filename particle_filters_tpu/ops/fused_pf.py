@@ -32,7 +32,7 @@ of the two is tested (same RMSE/ESS behavior on the SV model).
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +61,7 @@ def _bits_to_unit_open(bits):
 
 
 def _fused_kernel(
-    seed_ref,  # (1, 1) int32 SMEM: per-step seed
+    seed_ref,  # (1, 2) int32 SMEM: (per-step seed, global block offset)
     off_ref,  # (1, 2) f32 SMEM: (pending log-normalizer, uniform flag)
     z_ref,  # (1, 128) f32 VMEM: observation (padded)
     p_ref,  # (nx, B) f32 VMEM: particle block (transposed layout)
@@ -77,9 +77,13 @@ def _fused_kernel(
     n_total: int,
 ):
     b = pl.program_id(0)
-    # Two-word seed (step_seed, block_id): additive seed+b would let block
-    # streams of different steps collide (seed s block 5 == seed s+5 block 0).
-    pltpu.prng_seed(seed_ref[0, 0], b)
+    # Two-word seed (step_seed, global_block_id): additive seed+b would let
+    # block streams of different steps collide (seed s block 5 == seed s+5
+    # block 0). The second word is offset by seed_ref[0, 1] so that under a
+    # sharded particle axis every (shard, block) pair draws a distinct
+    # stream from the SAME replicated step seed (offset = shard · n_blocks;
+    # 0 on a single device, where this reduces to the original stream).
+    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] + b)
 
     shape = p_ref[:, :].shape  # (rows, B) — rows = 8 for nx=1, else nx
     if shape[1] % 256 == 0:
@@ -170,8 +174,15 @@ def _fused_kernel(
     ).reshape(1, 128)
 
 
-def _combine_partials(partials, nx: int):
-    """Exact global moments from per-block (max, Σe, Σe², Σe·x, Σe·x⊗x)."""
+def _combine_partials(partials, nx: int, axis_name=None):
+    """Exact global moments from per-block (max, Σe, Σe², Σe·x, Σe·x⊗x).
+
+    With ``axis_name`` the per-block partials of THIS shard combine into
+    global moments over the whole sharded cloud: the block-max telescoping
+    is exact under a pmax/psum pair (the same algebra, with the global max
+    taken across shards first), so the sharded fused filter reproduces the
+    single-device log-normalizer/ESS/moments up to f32 summation order.
+    """
     m_b = partials[:, 0]
     s_b = partials[:, 1]
     e2_b = partials[:, 2]
@@ -179,13 +190,19 @@ def _combine_partials(partials, nx: int):
     exx_b = partials[:, 3 + nx : 3 + nx + nx * nx]
 
     m_g = jnp.max(m_b)
+    if axis_name is not None:
+        m_g = lax.pmax(m_g, axis_name)
     scale = jnp.exp(m_b - m_g)  # (n_blocks,)
-    Z = jnp.sum(s_b * scale)
+
+    def _sum(x):
+        return lax.psum(x, axis_name) if axis_name is not None else x
+
+    Z = _sum(jnp.sum(s_b * scale))
     log_z = m_g + jnp.log(jnp.maximum(Z, 1e-30))
-    sum_w2 = jnp.sum(e2_b * scale * scale)  # Σ exp(2(lw − m_g))
+    sum_w2 = _sum(jnp.sum(e2_b * scale * scale))  # Σ exp(2(lw − m_g))
     ess = (Z * Z) / jnp.maximum(sum_w2, 1e-30)
-    mean = (scale @ ex_b) / Z  # (nx,)
-    exx = (scale @ exx_b).reshape(nx, nx) / Z
+    mean = _sum(scale @ ex_b) / Z  # (nx,)
+    exx = _sum(scale @ exx_b).reshape(nx, nx) / Z
     cov = exx - jnp.outer(mean, mean)
     return log_z, ess, mean, cov
 
@@ -212,7 +229,20 @@ class FusedSIRFilter:
         Np: int,
         resample_thresh: float = 0.5,
         block: int = 65536,
+        axis_name: Optional[str] = None,
+        n_shards: int = 1,
+        distributed_resample: str = "all_gather",
+        neighbor_radius: int = 2,
     ) -> None:
+        """With ``axis_name`` (and the matching static ``n_shards``) the
+        filter runs INSIDE ``shard_map`` with the particle axis sharded:
+        ``Np`` is then the PER-SHARD count (global N = Np · n_shards), the
+        on-chip PRNG streams are decorrelated per (shard, block), weight
+        partials combine via pmax/psum, and cross-shard resampling uses
+        either the exact all_gather ancestry or the memory-bounded
+        neighbor exchange (``distributed_resample``, as in
+        ``ParticleFilter``). Use ``parallel.fused_sharded`` to construct
+        and drive the sharded form."""
         self.g_vec = g_vec
         self.obs_loglik_vec = obs_loglik_vec
         self.Q = np.asarray(Q, np.float32)
@@ -223,6 +253,15 @@ class FusedSIRFilter:
             np.float32
         )
         self.Np = int(Np)
+        self.axis_name = axis_name
+        self.n_shards = int(n_shards) if axis_name is not None else 1
+        self.n_global = self.Np * self.n_shards
+        if distributed_resample not in ("all_gather", "neighbor"):
+            raise ValueError(
+                "distributed_resample must be 'all_gather' or 'neighbor'."
+            )
+        self.distributed_resample = distributed_resample
+        self.neighbor_radius = int(neighbor_radius)
         self.block = int(min(block, Np))
         if Np % self.block != 0:
             raise ValueError("Np must be a multiple of the block size.")
@@ -242,6 +281,12 @@ class FusedSIRFilter:
         self.resample_thresh = float(resample_thresh)
 
     def initialize(self, key, mean, cov):
+        """Particles ~ N(mean, cov), uniform weights. Under ``axis_name``
+        this runs per-shard inside shard_map: the replicated key is folded
+        with the shard index so shards draw distinct particles, and the
+        uniform weight is −log N_global."""
+        if self.axis_name is not None:
+            key = jax.random.fold_in(key, lax.axis_index(self.axis_name))
         mean = jnp.asarray(mean, jnp.float32).reshape(-1)
         L = jnp.linalg.cholesky(
             jnp.atleast_2d(jnp.asarray(cov, jnp.float32))
@@ -253,7 +298,7 @@ class FusedSIRFilter:
         # partial log-normalizer IS the incremental evidence
         # log p(z_t | z_{1:t-1}) — same convention as ParticleFilter.run.
         logw = jnp.full(
-            (self.wrows, self.wcols), -jnp.log(jnp.float32(self.Np))
+            (self.wrows, self.wcols), -jnp.log(jnp.float32(self.n_global))
         )
         # Third carry leg: (pending log-normalizer, uniform flag). The
         # kernel consumes it so the run loop never spends an HBM pass
@@ -261,16 +306,28 @@ class FusedSIRFilter:
         # resample. Initial weights are uniform AND normalized: (0, 0).
         return particles_t, logw, jnp.zeros(2, jnp.float32)
 
+    @staticmethod
+    def _coerce_state(state):
+        """Accept both carry formats: the current 3-tuple and the legacy
+        2-tuple ``(particles_t, logw)`` from before lazy normalization
+        (r3 state-format change; see MIGRATION.md). A legacy state's
+        weights were stored normalized, which is exactly ``off_u = (0, 0)``."""
+        if len(state) == 2:
+            particles_t, logw = state
+            return particles_t, logw, jnp.zeros(2, jnp.float32)
+        return state
+
     def effective_logw(self, state):
         """Materialize a carry state's true normalized log-weights.
 
         The run loop itself never does this (the kernel folds the pending
         scalars in); this is for consumers inspecting or persisting state.
+        Accepts legacy 2-tuple states (treated as already normalized).
         """
-        _, logw, off_u = state
+        _, logw, off_u = self._coerce_state(state)
         return jnp.where(
             off_u[1] > 0.5,
-            jnp.full_like(logw, -jnp.log(jnp.float32(self.Np))),
+            jnp.full_like(logw, -jnp.log(jnp.float32(self.n_global))),
             logw - off_u[0],
         )
 
@@ -278,7 +335,19 @@ class FusedSIRFilter:
         n_blocks = self.Np // self.block
         nz = z.shape[0]
         z_pad = jnp.zeros((1, 128), jnp.float32).at[0, :nz].set(z)
-        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        # Second seed word: this shard's global block offset, so every
+        # (shard, block) pair draws a distinct PRNG stream from the SAME
+        # replicated step seed. 0 on a single device (original stream).
+        if self.axis_name is not None:
+            blk_off = lax.axis_index(self.axis_name) * n_blocks
+        else:
+            blk_off = 0
+        seed_arr = jnp.stack(
+            [
+                jnp.asarray(seed, jnp.int32),
+                jnp.asarray(blk_off, jnp.int32),
+            ]
+        ).reshape(1, 2)
         off_arr = jnp.asarray(off_uniform, jnp.float32).reshape(1, 2)
 
         kern = functools.partial(
@@ -287,13 +356,13 @@ class FusedSIRFilter:
             obs_ll_vec=self.obs_loglik_vec,
             Lq=self.Lq,
             nx=self.nx,
-            n_total=self.Np,
+            n_total=self.n_global,
         )
         p_new, lw_new, partials = pl.pallas_call(
             kern,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda b: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 2), lambda b: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
@@ -321,12 +390,123 @@ class FusedSIRFilter:
             ),
         )(seed_arr, off_arr, z_pad, particles_t, logw)
         partials = partials.reshape(n_blocks, 128)
-        log_z, ess, mean, cov = _combine_partials(partials, self.nx)
+        log_z, ess, mean, cov = _combine_partials(
+            partials, self.nx, self.axis_name
+        )
         return p_new, lw_new, log_z, ess, mean, cov
 
+    def _to_flat(self, pt):
+        """(rows, cols) kernel layout -> (Np_local, nx) resampling layout."""
+        return pt.T if self.nx > 1 else pt.reshape(self.Np, 1)
+
+    def _from_flat(self, p):
+        """(Np_local, nx) -> (rows, cols) kernel layout."""
+        return p.T if self.nx > 1 else p.reshape(self.rows, self.cols)
+
+    def _resample(self, rkey, particles_t, logw, log_z):
+        """Systematic resample dispatch: single-device blocked kernel, or
+        cross-shard all_gather / neighbor-exchange under ``axis_name``.
+
+        ``logw`` is the raw kernel output whose global logsumexp is
+        ``log_z`` (the lazy-normalization carry); the cross-shard paths
+        need globally normalized log-weights, so it is subtracted here —
+        only on resample steps, never as a per-step pass.
+
+        Returns ``(new_particles_t, exchange_ok)`` — ``exchange_ok`` is
+        always True except in neighbor mode, where False flags a step
+        whose ±radius pool was insufficient and the exact all_gather
+        rescue ran instead (result still exact; the flag is a sizing
+        signal — see parallel/distributed_resample.py).
+        """
+        p = self._to_flat(particles_t)
+        lw = logw.reshape(self.Np)
+        ok = jnp.asarray(True)
+        if self.axis_name is None:
+            p_new = systematic_resample_values_blocked(rkey, p, logw=lw)
+        elif self.distributed_resample == "neighbor":
+            from particle_filters_tpu.parallel.distributed_resample import (
+                neighbor_exchange_systematic_resample,
+            )
+
+            p_new, ok = neighbor_exchange_systematic_resample(
+                rkey, p, lw - log_z,
+                axis_name=self.axis_name,
+                radius=self.neighbor_radius,
+            )
+        else:
+            # Exact all_gather ancestry: every shard runs the same
+            # deterministic-per-key global resample (same replicated key ⇒
+            # same u) through the blocked kernel and keeps its slice.
+            p_all = lax.all_gather(p, self.axis_name, axis=0, tiled=True)
+            lw_all = lax.all_gather(lw, self.axis_name, axis=0, tiled=True)
+            vals = systematic_resample_values_blocked(rkey, p_all, logw=lw_all)
+            i = lax.axis_index(self.axis_name)
+            p_new = lax.dynamic_slice_in_dim(
+                vals, i * self.Np, self.Np, axis=0
+            )
+        return self._from_flat(p_new), ok
+
+    def _step_core(self, seed, rkey, carry, z):
+        """One fused step + conditional resample; shared by run/step."""
+        particles_t, logw, off_u = carry
+        particles_t, logw, log_z, ess, mean, cov = self._fused_step(
+            seed, off_u, particles_t, logw, z
+        )
+        trigger = ess < self.resample_thresh * self.n_global
+
+        def do_res(op):
+            k, pt, lw = op
+            return self._resample(k, pt, lw, log_z)
+
+        def no_res(op):
+            _, pt, _ = op
+            return pt, jnp.asarray(True)
+
+        particles_t, ex_ok = lax.cond(
+            trigger, do_res, no_res, (rkey, particles_t, logw)
+        )
+        # Weight bookkeeping is two SCALARS, not array passes: after a
+        # resample the carry log-weights are stale and the next kernel
+        # call substitutes the implicit uniform −log N (flag = 1);
+        # otherwise the kernel subtracts the pending log-normalizer so
+        # the carried weights re-enter normalized (logsumexp == 0).
+        off_u = jnp.where(
+            trigger,
+            jnp.array([0.0, 1.0], jnp.float32),
+            jnp.stack([log_z, jnp.float32(0.0)]),
+        )
+        hist = {
+            "mean": mean,
+            "cov": cov,
+            "ess": ess,
+            "resampled": trigger,
+            # effective carry log-weights stay normalized, so the
+            # block-partial log-normalizer is exactly the incremental
+            # log-evidence log p(z_t | z_{1:t-1}) — ParticleFilter.run's
+            # convention (VERDICT r2 weak #6).
+            "log_evidence": log_z,
+            "exchange_ok": ex_ok,
+        }
+        return (particles_t, logw, off_u), hist
+
+    def step(self, key, state, z):
+        """One filter step (fused kernel + conditional resample).
+
+        Returns ``(new_state, info)`` with the same per-step fields as one
+        row of ``run``'s history. Accepts legacy 2-tuple states.
+        """
+        carry = self._coerce_state(state)
+        seed = jax.random.randint(
+            key, (), minval=0, maxval=np.int32(2**31 - 1), dtype=jnp.int32
+        )
+        rkey = jax.random.fold_in(key, 1)
+        return self._step_core(seed, rkey, carry, jnp.asarray(z))
+
     def run(self, key, state, zs):
-        """Filter a (T, nz) sequence; history mirrors ``ParticleFilter.run``."""
-        particles_t0, logw0, off_u0 = state
+        """Filter a (T, nz) sequence; history mirrors ``ParticleFilter.run``.
+
+        Accepts legacy 2-tuple states (pre-r3 checkpoint format)."""
+        particles_t0, logw0, off_u0 = self._coerce_state(state)
         T = zs.shape[0]
         seeds = jax.random.randint(
             key, (T,), minval=0, maxval=np.int32(2**31 - 1), dtype=jnp.int32
@@ -334,53 +514,8 @@ class FusedSIRFilter:
         res_keys = jax.random.split(jax.random.fold_in(key, 1), T)
 
         def body(carry, inp):
-            particles_t, logw, off_u = carry
             seed, rkey, z = inp
-            particles_t, logw, log_z, ess, mean, cov = self._fused_step(
-                seed, off_u, particles_t, logw, z
-            )
-            trigger = ess < self.resample_thresh * self.Np
-
-            def do_res(op):
-                k, pt, lw = op
-                p = pt.T if self.nx > 1 else pt.reshape(self.Np, 1)
-                p_new = systematic_resample_values_blocked(
-                    k, p, logw=lw.reshape(self.Np)
-                )
-                return (
-                    p_new.T if self.nx > 1
-                    else p_new.reshape(self.rows, self.cols)
-                )
-
-            def no_res(op):
-                _, pt, _ = op
-                return pt
-
-            particles_t = lax.cond(
-                trigger, do_res, no_res, (rkey, particles_t, logw)
-            )
-            # Weight bookkeeping is two SCALARS, not array passes: after a
-            # resample the carry log-weights are stale and the next kernel
-            # call substitutes the implicit uniform −log N (flag = 1);
-            # otherwise the kernel subtracts the pending log-normalizer so
-            # the carried weights re-enter normalized (logsumexp == 0).
-            off_u = jnp.where(
-                trigger,
-                jnp.array([0.0, 1.0], jnp.float32),
-                jnp.stack([log_z, jnp.float32(0.0)]),
-            )
-            hist = {
-                "mean": mean,
-                "cov": cov,
-                "ess": ess,
-                "resampled": trigger,
-                # effective carry log-weights stay normalized, so the
-                # block-partial log-normalizer is exactly the incremental
-                # log-evidence log p(z_t | z_{1:t-1}) — ParticleFilter.run's
-                # convention (VERDICT r2 weak #6).
-                "log_evidence": log_z,
-            }
-            return (particles_t, logw, off_u), hist
+            return self._step_core(seed, rkey, carry, z)
 
         (particles_t, logw, off_u), hist = lax.scan(
             body, (particles_t0, logw0, off_u0), (seeds, res_keys, zs)

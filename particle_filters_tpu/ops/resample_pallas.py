@@ -21,10 +21,12 @@ regular row gather:
     detects span overflow exactly.
 3.  Row gathers fetch the Q fine-chunk rows per sub-group from three
     SEPARATE fine-chunk arrays — starts (128-wide), particle diffs
-    (128·d-wide), chunk bases p_{m·128−1} (d-wide) — kept apart so every
-    gathered row is a 128-multiple width (a single concatenated row is
-    misaligned with the lane tiling and XLA's gather collapses on it;
-    see the rejected-decompositions note).
+    (128·d-wide), chunk bases p_{m·128−1} (d-wide) — kept apart so the two
+    LARGE gathers (starts, diffs) ride 128-multiple-wide rows; the
+    chunk-base rows are only d-wide, but that gather is Q× smaller and
+    measured ~0 (exp_gather_width.py). A single concatenated
+    [starts|diffs|base] row is misaligned with the lane tiling and XLA's
+    gather collapses on it; see the rejected-decompositions note.
 4.  The Pallas kernel computes, per sub-group,
         C[k, w] = (s_win[w] ≤ k)            (128 × Q·128 VPU compare)
         out[k]  = Σ_w C[k, w] · d_win[w]    (VPU multiply-reduce)

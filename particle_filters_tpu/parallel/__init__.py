@@ -19,6 +19,12 @@ from particle_filters_tpu.parallel.dpf_sharded import (
 from particle_filters_tpu.parallel.distributed_resample import (
     neighbor_exchange_systematic_resample,
 )
+from particle_filters_tpu.parallel.fused_sharded import (
+    make_sharded_fused_init,
+    make_sharded_fused_pf,
+    make_sharded_fused_run,
+    make_sharded_fused_step,
+)
 
 __all__ = [
     "make_mesh",
@@ -27,4 +33,8 @@ __all__ = [
     "make_sharded_dpf_train_step",
     "sharded_soft_resample",
     "neighbor_exchange_systematic_resample",
+    "make_sharded_fused_pf",
+    "make_sharded_fused_init",
+    "make_sharded_fused_run",
+    "make_sharded_fused_step",
 ]

@@ -15,8 +15,14 @@ The all-gather resample is exact and simple; it holds one full copy of the
 cloud per device during the (rare) resample step. For multi-host N >> 1e7,
 construct the ParticleFilter with ``distributed_resample="neighbor"``: the
 memory-bounded ppermute neighbor exchange in
-``parallel/distributed_resample.py`` pools only ±radius neighbor shards and
-reports per-step exactness via the ``exchange_ok`` history flag.
+``parallel/distributed_resample.py`` pools only ±radius neighbor shards,
+rescuing through the exact all_gather path in-graph on the (rare) steps
+whose ancestry exceeds the pool; the ``exchange_ok`` history flag reports
+pool sufficiency (a sizing signal — results are exact either way).
+
+The FLAGSHIP fused Pallas step scales the same way through
+``parallel/fused_sharded.py`` (per-shard fused kernels, psum/pmax partial
+combining, the same two cross-shard resample modes).
 """
 
 from __future__ import annotations
@@ -37,7 +43,6 @@ def shard_pf_state(state: PFState, mesh: Mesh) -> PFState:
     rep = NamedSharding(mesh, P())
     return PFState(
         particles=jax.device_put(state.particles, sh_p),
-        weights=jax.device_put(state.weights, sh_w),
         log_weights=jax.device_put(state.log_weights, sh_w),
         mean=jax.device_put(state.mean, rep),
         cov=jax.device_put(state.cov, rep),
@@ -58,7 +63,6 @@ def make_sharded_pf_run(pf: ParticleFilter, mesh: Mesh):
 
     state_spec = PFState(
         particles=P("particles", None),
-        weights=P("particles"),
         log_weights=P("particles"),
         mean=P(),
         cov=P(),
