@@ -12,10 +12,15 @@ the ancestor with CDF cell containing (i + u)/N. Shard d owns the output
 slots [d·n/S, (d+1)·n/S) — positions in ≈ [d/S, (d+1)/S) — and the global
 CDF segment of shard s spans [offsets_s, offsets_{s+1}), which for a
 weight imbalance bounded by a factor of (r+...) stays within r shards of
-d/S. The returned ``ok`` flag reports exactly (per call, replicated)
-whether every ancestor fell inside the pool; if it is False the radius
-was too small for this weight distribution and the caller should widen it
-(or use the all-gather path).
+d/S. The replicated ``ok`` flag reports exactly (per call) whether every
+ancestor fell inside the pool. The result is exact EITHER WAY: when the
+radius is insufficient (``ok`` False) the step ``lax.cond``s into an
+in-graph all_gather rescue that reproduces the exact global ancestry for
+the same key — ``ok`` is a pool-sizing signal (persistent False means the
+radius is too small to ever save memory), never a correctness flag.
+Memory: pooled steps hold O((2r+1)·N/S) per device; a rescue step's
+branch holds the full O(N) gather (XLA allocates cond branches
+exclusively, so this is the rare-step peak, not the steady state).
 
 Exactness: same key ⇒ same u ⇒ the SAME global child-start vector
 t_j = ceil(N·cdf_j − u) as the all-gather path; the local output is the
@@ -227,18 +232,27 @@ def neighbor_exchange_systematic_resample(
     radius: int = 2,
     exact: Optional[bool] = None,
 ):
-    """Systematic resample of the global cloud without materializing it.
+    """Systematic resample of the global cloud, exact by construction.
 
-    Call inside ``shard_map``. Returns ``(new_local_particles, ok)`` where
-    ``ok`` is a replicated bool: True iff every ancestor of this step's
-    output slots lay within ``radius`` shards (the result is then exactly
-    the all-gather systematic resample for the same key).
+    Call inside ``shard_map``. Returns ``(new_local_particles, ok)``. The
+    output is ALWAYS the exact global systematic resample for this key:
+    when every ancestor of this shard's output slots lies within
+    ``radius`` shards (``ok`` True, the common case) it comes from the
+    memory-bounded neighbor pool; otherwise (``ok`` False) the step
+    ``lax.cond``s into an all_gather rescue computing the identical
+    ancestry from the full cloud. ``ok`` is therefore a pool-sizing
+    diagnostic — a persistently False flag means ``radius`` is too small
+    to deliver the memory bound — never a correctness condition.
 
     ``exact`` selects the child-start arithmetic: None (default) uses
     float32 up to N = 2^24 and the exact integer convention beyond;
     True/False force either path (True is required for bit-exact ancestry
-    at N > 2^24 and is what the default picks there).
+    at N > 2^24 and is what the default picks there). The rescue branch
+    uses the same arithmetic (``resampling.hard._child_run_ends`` with the
+    same resolved ``exact``), so forced modes stay internally consistent.
     """
+    from particle_filters_tpu.resampling.hard import _child_run_ends
+
     n_local = particles.shape[0]
     n_shards = lax.axis_size(axis_name)
     d = lax.axis_index(axis_name)
@@ -253,36 +267,69 @@ def neighbor_exchange_systematic_resample(
         key, particles, w_local, axis_name, radius, n_shards, d, n_total,
         n_local,
     )
-
-    # Pool the 2r+1 neighbor shards' particle values via ring ppermute.
-    pool_vals = []
-    for off in range(-radius, radius + 1):
-        if off == 0:
-            vals = particles
-        else:
-            perm = [(int(s), int((s - off) % n_shards)) for s in range(n_shards)]
-            vals = lax.ppermute(particles, axis_name, perm)
-        pool_vals.append(vals)
-    pool_vals = jnp.concatenate(pool_vals, axis=0)  # ((2r+1)·n_local, d)
-
-    # Shift the global child starts into MY slot range [d·n_local,
-    # (d+1)·n_local). Entries whose children all precede my range clip to
-    # 0 and telescope away; entries whose children all follow land at
-    # n_local and are dropped.
-    my_slot0 = (d * n_local).astype(starts_global.dtype)
-    starts = jnp.clip(starts_global - my_slot0, 0.0, n_local).astype(jnp.int32)
-
-    prev = jnp.concatenate(
-        [jnp.zeros_like(pool_vals[:1]), pool_vals[:-1]], axis=0
-    )
-    diffs = pool_vals - prev
-    out = jnp.zeros((n_local,) + particles.shape[1:], dtype).at[starts].add(
-        diffs, indices_are_sorted=True, mode="drop"
-    )
-    if out.ndim == 2 and out.shape[1] == 1:
-        new_particles = blocked_cumsum(out[:, 0])[:, None]
-    else:
-        new_particles = jnp.cumsum(out, axis=0)
-
+    # Replicated sufficiency flag: every shard computes the same value, so
+    # all shards take the same lax.cond branch below (their collectives
+    # stay matched).
     ok = lax.psum(ok_local.astype(jnp.int32), axis_name) == n_shards
+
+    def _pooled(_):
+        """Memory-bounded path: ±radius ring ppermute pool + telescoping."""
+        pool_vals = []
+        for off in range(-radius, radius + 1):
+            if off == 0:
+                vals = particles
+            else:
+                perm = [
+                    (int(s), int((s - off) % n_shards))
+                    for s in range(n_shards)
+                ]
+                vals = lax.ppermute(particles, axis_name, perm)
+            pool_vals.append(vals)
+        pool_vals = jnp.concatenate(pool_vals, axis=0)  # ((2r+1)·n_local, d)
+
+        # Shift the global child starts into MY slot range [d·n_local,
+        # (d+1)·n_local). Entries whose children all precede my range clip
+        # to 0 and telescope away; entries whose children all follow land
+        # at n_local and are dropped.
+        my_slot0 = (d * n_local).astype(starts_global.dtype)
+        starts = jnp.clip(starts_global - my_slot0, 0.0, n_local).astype(
+            jnp.int32
+        )
+
+        prev = jnp.concatenate(
+            [jnp.zeros_like(pool_vals[:1]), pool_vals[:-1]], axis=0
+        )
+        diffs = pool_vals - prev
+        out = jnp.zeros((n_local,) + particles.shape[1:], dtype).at[
+            starts
+        ].add(diffs, indices_are_sorted=True, mode="drop")
+        if out.ndim == 2 and out.shape[1] == 1:
+            return blocked_cumsum(out[:, 0])[:, None]
+        return jnp.cumsum(out, axis=0)
+
+    def _rescue(_):
+        """Exact all_gather fallback: full cloud, same key ⇒ same u ⇒ the
+        identical global ancestry the pooled path would produce with an
+        unbounded radius (and bit-identical to the all_gather
+        ``distributed_resample`` mode's convention: normalized weights +
+        ``_child_run_ends`` + telescoping scatter+cumsum)."""
+        p_all = lax.all_gather(particles, axis_name, axis=0, tiled=True)
+        w_all = lax.all_gather(w_local, axis_name, axis=0, tiled=True)
+        w_all = w_all / jnp.sum(w_all)
+        t = _child_run_ends(key, w_all, n_total, exact=exact)
+        starts_all = jnp.concatenate([jnp.zeros((1,), jnp.int32), t[:-1]])
+        prev = jnp.concatenate(
+            [jnp.zeros_like(p_all[:1]), p_all[:-1]], axis=0
+        )
+        diffs = p_all - prev
+        out = jnp.zeros_like(p_all).at[starts_all].add(
+            diffs, indices_are_sorted=True, mode="drop"
+        )
+        if out.ndim == 2 and out.shape[1] == 1:
+            vals = blocked_cumsum(out[:, 0])[:, None]
+        else:
+            vals = jnp.cumsum(out, axis=0)
+        return lax.dynamic_slice_in_dim(vals, d * n_local, n_local, axis=0)
+
+    new_particles = lax.cond(ok, _pooled, _rescue, None)
     return new_particles, ok

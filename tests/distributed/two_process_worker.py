@@ -82,7 +82,6 @@ def main():
 
     state0 = PFState(
         particles=to_global(st_local.particles, P("particles", None)),
-        weights=to_global(st_local.weights, P("particles")),
         log_weights=to_global(st_local.log_weights, P("particles")),
         mean=to_global(st_local.mean, P()),
         cov=to_global(st_local.cov, P()),
