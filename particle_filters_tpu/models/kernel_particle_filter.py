@@ -147,6 +147,13 @@ class KPFConfig:
     reg: float = static_field(default=1e-6)
     localization_radius: float = static_field(default=np.inf)
     random_order: bool = static_field(default=True)
+    # While-free pseudo-time loop: a masked fori_loop of exactly max_steps
+    # iterations instead of the adaptive lax.while_loop. Identical result
+    # (converged iterations recompute and discard), but safe to place under
+    # outer vmap/scan levels on TPU, where nesting a while_loop inside an
+    # extra device-side iteration level can hard-fault XLA:TPU with an
+    # opaque "TPU device error" (CLAUDE.md; hit by examples/10's SPF use).
+    bounded_loop: bool = static_field(default=False)
 
 
 @pytree_dataclass
@@ -309,7 +316,24 @@ class KernelParticleFilter:
             jnp.asarray(cfg.ds_init, X.dtype),
             jnp.zeros((cfg.max_steps,), X.dtype),
         )
-        Xf, _, s, steps, _, hist = lax.while_loop(cond_fn, body_fn, init)
+        if cfg.bounded_loop:
+            # Masked fori_loop over the static iteration bound: the body
+            # runs max_steps times; once cond_fn would be False the carry
+            # freezes (leaf-wise select), so the result matches the
+            # while_loop bit for bit while keeping the graph while-free
+            # for outer vmap/scan on TPU (KPFConfig.bounded_loop).
+            def bounded_body(_, carry):
+                active = cond_fn(carry)
+                new = body_fn(carry)
+                return jax.tree.map(
+                    lambda n, o: jnp.where(active, n, o), new, carry
+                )
+
+            Xf, _, s, steps, _, hist = lax.fori_loop(
+                0, max(cfg.max_steps, cfg.min_steps), bounded_body, init
+            )
+        else:
+            Xf, _, s, steps, _, hist = lax.while_loop(cond_fn, body_fn, init)
 
         return KPFState(
             particles=Xf,

@@ -134,10 +134,40 @@ def solve_beta_star_bisection(
     s_hi: float = 5.0,
     max_bracket_expand: int = 30,
     max_bisect_iter: int = 60,
+    rhs_mode: str = "tabulated",
+    n_beta_tab: int = 2048,
+    bounded: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Optimal β(λ): shoot β'' = µ·dκ₂/dβ with β(0)=0 to hit β(1)=1
     (reference :171-294). Fully traceable: RK4 shooting is a scan, bracket
-    expansion a while_loop, bisection a fori_loop.
+    expansion a while_loop (or a bounded fori_loop, below), bisection a
+    fori_loop.
+
+    ``rhs_mode`` selects how dκ₂/dβ is evaluated along the shooting
+    trajectory:
+
+    - ``"tabulated"`` (default): ONE batched eigh over a dense β grid on
+      the clip interval [−0.5, 1.5] builds a dκ₂/dβ table; the shooting
+      RK4 stages then linearly interpolate it (~10 scalar ops each). The
+      reference evaluates an eigh at EVERY shooting stage
+      (:225-254 × :123-167 ≈ 1.3e5 sequential n×n eigh per solve, which
+      lower serially on TPU); the table is the same spectral quantity with
+      interpolation error O(Δβ²) ≈ 1e-6 at the default 2048 points — far
+      below the RK4 grid's own O(h²) truncation at h = 1/n_grid. Measured:
+      the spf_example1 optimal row went 3.53 s → see
+      ``benchmarks/profile_spf.py``.
+    - ``"exact"``: the reference's per-stage eigh (bit-compatible with the
+      r3 behavior; used by equivalence tests).
+
+    ``bounded=True`` replaces the bracket-expansion ``lax.while_loop``
+    with a masked ``fori_loop`` of exactly ``max_bracket_expand``
+    iterations (converged iterations recompute and discard). Use it when
+    this solve sits under an outer device-side iteration level on TPU —
+    nesting a while_loop inside vmap/scan layers can hard-fault
+    XLA:TPU with an opaque "TPU device error" (CLAUDE.md; hit by
+    examples/10) — at the cost of always paying the worst-case bracket
+    work. The two variants produce identical schedules
+    (``tests/unit/test_spf.py`` pins it).
     """
     M0 = symmetrize(jnp.asarray(M0))
     Mh = symmetrize(jnp.asarray(Mh))
@@ -145,10 +175,30 @@ def solve_beta_star_bisection(
     lam = jnp.linspace(0.0, 1.0, n_grid, dtype=dtype)
     h = lam[1] - lam[0]
 
-    def rhs(beta):
-        beta = jnp.clip(beta, -0.5, 1.5)
-        _, dk = kappa2_and_derivative(M0 + beta * Mh, Mh)
-        return mu * dk
+    b_lo, b_hi = -0.5, 1.5  # the clip interval of the rhs (reference :149)
+    if rhs_mode == "tabulated":
+        tab = jnp.linspace(b_lo, b_hi, n_beta_tab, dtype=dtype)
+        _, dk_tab = jax.vmap(
+            lambda b: kappa2_and_derivative(M0 + b * Mh, Mh)
+        )(tab)
+        inv_db = jnp.asarray((n_beta_tab - 1) / (b_hi - b_lo), dtype)
+
+        def rhs(beta):
+            pos = (jnp.clip(beta, b_lo, b_hi) - b_lo) * inv_db
+            i0 = jnp.clip(pos.astype(jnp.int32), 0, n_beta_tab - 2)
+            frac = pos - i0.astype(dtype)
+            dk = dk_tab[i0] * (1.0 - frac) + dk_tab[i0 + 1] * frac
+            return mu * dk
+
+    elif rhs_mode == "exact":
+
+        def rhs(beta):
+            beta = jnp.clip(beta, b_lo, b_hi)
+            _, dk = kappa2_and_derivative(M0 + beta * Mh, Mh)
+            return mu * dk
+
+    else:
+        raise ValueError("rhs_mode must be 'tabulated' or 'exact'.")
 
     def rk4_body(carry, _):
         y1, y2 = carry
@@ -176,28 +226,45 @@ def solve_beta_star_bisection(
         return beta[-1] - 1.0
 
     # Bracket expansion (reference :261-271)
-    def brk_cond(c):
-        s_lo_, s_hi_, f_lo_, f_hi_, it = c
-        return jnp.logical_and(
-            jnp.sign(f_lo_) == jnp.sign(f_hi_), it < max_bracket_expand
-        )
-
-    def brk_body(c):
-        s_lo_, s_hi_, _, _, it = c
-        s_lo2, s_hi2 = s_lo_ * 2.0, s_hi_ * 2.0
-        return (s_lo2, s_hi2, F(s_lo2), F(s_hi2), it + 1)
-
-    s_lo_, s_hi_, f_lo_, f_hi_, _ = lax.while_loop(
-        brk_cond,
-        brk_body,
-        (
-            jnp.asarray(s_lo, dtype),
-            jnp.asarray(s_hi, dtype),
-            F(jnp.asarray(s_lo, dtype)),
-            F(jnp.asarray(s_hi, dtype)),
-            0,
-        ),
+    brk_init = (
+        jnp.asarray(s_lo, dtype),
+        jnp.asarray(s_hi, dtype),
+        F(jnp.asarray(s_lo, dtype)),
+        F(jnp.asarray(s_hi, dtype)),
     )
+    if bounded:
+        # Masked fori_loop: exactly max_bracket_expand iterations; once the
+        # bracket holds a sign change the carry freezes (the speculative F
+        # evals are computed and discarded — the price of a while-free
+        # graph that survives outer vmap/scan levels on TPU).
+        def brk_body_bounded(_, c):
+            s_lo_, s_hi_, f_lo_, f_hi_ = c
+            done = jnp.sign(f_lo_) != jnp.sign(f_hi_)
+            s_lo2 = jnp.where(done, s_lo_, s_lo_ * 2.0)
+            s_hi2 = jnp.where(done, s_hi_, s_hi_ * 2.0)
+            f_lo2 = jnp.where(done, f_lo_, F(s_lo2))
+            f_hi2 = jnp.where(done, f_hi_, F(s_hi2))
+            return (s_lo2, s_hi2, f_lo2, f_hi2)
+
+        s_lo_, s_hi_, f_lo_, f_hi_ = lax.fori_loop(
+            0, max_bracket_expand, brk_body_bounded, brk_init
+        )
+    else:
+
+        def brk_cond(c):
+            s_lo_, s_hi_, f_lo_, f_hi_, it = c
+            return jnp.logical_and(
+                jnp.sign(f_lo_) == jnp.sign(f_hi_), it < max_bracket_expand
+            )
+
+        def brk_body(c):
+            s_lo_, s_hi_, _, _, it = c
+            s_lo2, s_hi2 = s_lo_ * 2.0, s_hi_ * 2.0
+            return (s_lo2, s_hi2, F(s_lo2), F(s_hi2), it + 1)
+
+        s_lo_, s_hi_, f_lo_, f_hi_, _ = lax.while_loop(
+            brk_cond, brk_body, brk_init + (0,)
+        )
 
     # Bisection (reference :277-287)
     def bis_body(_, c):
@@ -231,10 +298,16 @@ def run_generalized_spf(
     q_scale: float = 1e-2,
     seed: int = 0,
     key: Optional[jax.Array] = None,
+    beta_rhs_mode: str = "tabulated",
+    beta_bounded: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     """Generalized SPF: temper the prior into the posterior by integrating
     the homotopy SDE dX = [K₁∇log p + K₂∇log h] dλ + √Q dW over λ ∈ [0, 1]
     (reference ``run_generalized_spf`` :300-411).
+
+    ``beta_rhs_mode`` / ``beta_bounded`` forward to
+    :func:`solve_beta_star_bisection` (tabulated-vs-exact dκ₂/dβ; bounded
+    while-free bracket for outer vmap/scan on TPU).
 
     Returns (final particles (N, n), mean estimate (n,), info dict with the
     λ/β/β' grids).
@@ -254,7 +327,8 @@ def run_generalized_spf(
         betadot_grid = jnp.ones_like(lam_grid)
     elif beta_mode == "optimal":
         lam_grid, beta_grid, betadot_grid = solve_beta_star_bisection(
-            model.M0, model.Mh, mu=mu, n_grid=n_steps + 1
+            model.M0, model.Mh, mu=mu, n_grid=n_steps + 1,
+            rhs_mode=beta_rhs_mode, bounded=beta_bounded,
         )
     else:
         raise ValueError("beta_mode must be 'linear' or 'optimal'.")
