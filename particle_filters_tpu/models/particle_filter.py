@@ -45,16 +45,22 @@ from particle_filters_tpu.resampling.hard import (
 class PFState:
     """Particle posterior (reference ``PFState`` :27, plus log-weights).
 
-    ``weights`` are normalized linear weights (parity field); ``log_weights``
-    are the same weights in the log domain (the authoritative representation).
+    ``log_weights`` are the authoritative representation; the reference's
+    linear ``weights`` field (:27) is a lazy property materialized only when
+    read (an extra N-element exp + HBM write per step bought nothing in the
+    scan body — the carry is log-domain throughout).
     """
 
     particles: jax.Array  # (Np, nx)
-    weights: jax.Array  # (Np,)
     log_weights: jax.Array  # (Np,)
     mean: jax.Array  # (nx,)
     cov: jax.Array  # (nx, nx)
     t: jax.Array  # scalar int32
+
+    @property
+    def weights(self) -> jax.Array:
+        """Normalized linear weights (parity view of ``log_weights``)."""
+        return jnp.exp(self.log_weights)
 
 
 class ParticleFilter:
@@ -91,8 +97,11 @@ class ParticleFilter:
         exchange when ``axis_name`` is set: ``"all_gather"`` replicates the
         full cloud per device during the (rare) resample step — exact,
         O(N) memory; ``"neighbor"`` pools only ±``neighbor_radius``
-        neighbor shards via ppermute — O((2r+1)·N/S) memory, exact
-        whenever the per-call ``exchange_ok`` history flag stays True
+        neighbor shards via ppermute — O((2r+1)·N/S) memory on pooled
+        steps, and exact by construction: a step whose ancestry needs
+        shards beyond the radius automatically rescues through the exact
+        all_gather path in-graph, flagging ``exchange_ok=False`` in the
+        history as a pool-sizing signal
         (see ``parallel/distributed_resample.py``)."""
         self.g = g
         self.h = h
@@ -146,7 +155,6 @@ class ParticleFilter:
         logw = uniform_logw(self.Np, mean.dtype)
         return PFState(
             particles=particles,
-            weights=jnp.exp(logw),
             log_weights=logw,
             mean=mean,
             cov=cov,
@@ -217,8 +225,9 @@ class ParticleFilter:
             ok = jnp.asarray(True)
             if self.axis_name is not None:
                 if self.distributed_resample == "neighbor":
-                    # Memory-bounded ±r neighbor-shard exchange; exact
-                    # while the replicated ok flag stays True.
+                    # Memory-bounded ±r neighbor-shard exchange; exact by
+                    # construction (in-graph all_gather rescue when the
+                    # pool is insufficient; ok flags pool sizing).
                     from particle_filters_tpu.parallel.distributed_resample import (
                         neighbor_exchange_systematic_resample,
                     )
@@ -274,11 +283,13 @@ class ParticleFilter:
 
         With ``return_diagnostics`` returns ``(state, diag)`` where diag
         carries ``ess``, ``resampled``, and ``exchange_ok`` — the latter is
-        the correctness signal of the memory-bounded neighbor-exchange
+        the pool-sizing signal of the memory-bounded neighbor-exchange
         resample (``distributed_resample="neighbor"``): False on a step
-        whose ancestry needed shards beyond ±neighbor_radius, i.e. the
-        resample clipped to pool-edge ancestors. ``run`` surfaces the same
-        flag in its history; step-by-step drivers should check it here.
+        whose ancestry needed shards beyond ±neighbor_radius, in which
+        case the exact all_gather rescue ran in-graph (the result is still
+        exact; a persistently False flag means the radius is too small to
+        deliver the memory bound). ``run`` surfaces the same flag in its
+        history.
         """
         z = jnp.asarray(z)
         if particles is None:
@@ -291,7 +302,6 @@ class ParticleFilter:
         mean, cov = weighted_mean_cov(particles, logw, self.axis_name)
         new = PFState(
             particles=particles,
-            weights=jnp.exp(logw),
             log_weights=logw,
             mean=mean,
             cov=cov,
@@ -344,6 +354,14 @@ class ParticleFilter:
         T = zs.shape[0]
         keys = jax.random.split(key, T)
         us_seq = us if us is not None else jnp.zeros((T, 0))
+        return self._run_with_keys(state0, keys, zs, us_seq, track_degeneracy)
+
+    def _run_with_keys(self, state0, keys, zs, us_seq, track_degeneracy=False):
+        """The ``run`` scan with per-step keys made explicit — the shared
+        core of ``run`` (one scan over the whole sequence) and
+        ``run_chunked`` (the same scan over key/observation slices, so a
+        chunked run consumes the identical per-step key stream and matches
+        the monolithic run bit for bit)."""
 
         def body(state, inputs):
             k, z, u = inputs
@@ -364,7 +382,6 @@ class ParticleFilter:
             mean, cov = weighted_mean_cov(particles, logw, self.axis_name)
             new = PFState(
                 particles=particles,
-                weights=jnp.exp(logw),
                 log_weights=logw,
                 mean=mean,
                 cov=cov,
@@ -424,3 +441,121 @@ class ParticleFilter:
 
         final, hist = lax.scan(body, state0, (keys, zs, us_seq))
         return final, hist
+
+    def run_chunked(
+        self,
+        key: jax.Array,
+        state0: PFState,
+        zs: jax.Array,
+        us=None,
+        *,
+        chunk_size: int,
+        ckpt_dir: Optional[str] = None,
+        resume: bool = False,
+        stop_after_chunks: Optional[int] = None,
+        track_degeneracy: bool = False,
+    ):
+        """``run`` in ``chunk_size``-step jitted pieces with an orbax
+        checkpoint between chunks — mid-sequence checkpoint/resume for
+        long filtering runs (SURVEY.md §5.4; the reference persists only
+        datasets, ``simulator/simulator_Lorenz_96.py:215-295``).
+
+        The per-step key stream is ``jax.random.split(key, T)`` exactly as
+        in ``run``, derived once up front and sliced per chunk, so the
+        chunked run — interrupted and resumed or not — produces the SAME
+        trajectory, history, and final state as the monolithic ``run``
+        (bit-for-bit; pinned by ``tests/unit/test_particle_filter.py``).
+
+        - ``ckpt_dir``: after each completed chunk the carry state and the
+          chunk's history slab are saved under ``ckpt_dir/state`` /
+          ``ckpt_dir/hist`` (orbax, ``step_<c>`` subdirs, c = number of
+          completed chunks). Omit it for pure chunked execution.
+        - ``resume=True``: continue from the latest checkpoint in
+          ``ckpt_dir``, reloading completed chunks' histories so the
+          returned history still covers the full sequence.
+        - ``stop_after_chunks=j``: return after j more chunks (simulating /
+          scheduling an interruption); the return then carries the partial
+          history (state reflects the last completed chunk).
+
+        Single-device driver: the chunk calls are jitted here, so this
+        method cannot itself be placed under ``shard_map`` — for sharded
+        runs keep ``run`` (one scan) or drive chunks through
+        ``parallel.sharded``.
+        """
+        if chunk_size <= 0:
+            raise ValueError("chunk_size must be positive.")
+        if stop_after_chunks is not None and stop_after_chunks < 1:
+            raise ValueError("stop_after_chunks must be >= 1.")
+        if resume and ckpt_dir is None:
+            raise ValueError("resume=True requires ckpt_dir.")
+        if zs.shape[0] == 0:
+            raise ValueError("zs must contain at least one observation.")
+        from particle_filters_tpu.utils.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        T = zs.shape[0]
+        keys = jax.random.split(key, T)
+        us_seq = us if us is not None else jnp.zeros((T, 0))
+        n_chunks = -(-T // chunk_size)
+
+        cache_key = bool(track_degeneracy)
+        fns = getattr(self, "_chunk_fns", None)
+        if fns is None:
+            fns = self._chunk_fns = {}
+        if cache_key not in fns:
+
+            def _chunk(state, ks, zc, uc, _td=track_degeneracy):
+                return self._run_with_keys(state, ks, zc, uc, _td)
+
+            fns[cache_key] = jax.jit(_chunk)
+        chunk_fn = fns[cache_key]
+
+        state = state0
+        hists = []
+        start_chunk = 0
+        if resume:
+            import os
+
+            done = latest_step(os.path.join(ckpt_dir, "state"))
+            if done is not None:
+                state = restore_checkpoint(
+                    os.path.join(ckpt_dir, "state"), template=state0,
+                    step=done,
+                )
+                # Completed chunks' history slabs (plain dicts of arrays —
+                # orbax restores them without a template).
+                hists = [
+                    restore_checkpoint(os.path.join(ckpt_dir, "hist"), step=c)
+                    for c in range(1, done + 1)
+                ]
+                start_chunk = done
+
+        end_chunk = n_chunks
+        if stop_after_chunks is not None:
+            end_chunk = min(n_chunks, start_chunk + int(stop_after_chunks))
+
+        for c in range(start_chunk, end_chunk):
+            lo, hi = c * chunk_size, min((c + 1) * chunk_size, T)
+            state, hist = chunk_fn(
+                state, keys[lo:hi], zs[lo:hi], us_seq[lo:hi]
+            )
+            jax.block_until_ready(state.particles)
+            hists.append(hist)
+            if ckpt_dir is not None:
+                import os
+
+                save_checkpoint(
+                    os.path.join(ckpt_dir, "state"), state, step=c + 1
+                )
+                save_checkpoint(
+                    os.path.join(ckpt_dir, "hist"), hist, step=c + 1
+                )
+
+        history = jax.tree.map(
+            lambda *xs: jnp.concatenate([jnp.asarray(x) for x in xs], axis=0),
+            *hists,
+        )
+        return state, history

@@ -383,3 +383,104 @@ class TestLEDHScheduleValidation:
         with pytest.raises(ValueError, match="end at 1"):
             ledh.step(key, st, ts, jnp.array([0.1]),
                       beta_schedule=not_to_one)
+
+
+class TestRunChunked:
+    """Mid-sequence checkpoint/resume (SURVEY.md §5.4): a chunked run —
+    interrupted and resumed or not — must equal the monolithic ``run``
+    bit for bit (same upfront ``jax.random.split(key, T)`` stream)."""
+
+    def _setup(self, key, sv_params, T=37):
+        pf = make_sv_pf(sv_params, Np=256)
+        st0 = pf.initialize(
+            jax.random.fold_in(key, 0), np.zeros(1, np.float32),
+            np.eye(1, dtype=np.float32),
+        )
+        zs = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (T, 1))
+        return pf, st0, zs
+
+    @staticmethod
+    def _assert_hist_equal(ha, hb):
+        assert set(ha) == set(hb)
+        for k in ha:
+            np.testing.assert_array_equal(
+                np.asarray(ha[k]), np.asarray(hb[k]), err_msg=k
+            )
+
+    def test_matches_monolithic_run(self, key, sv_params):
+        pf, st0, zs = self._setup(key, sv_params)
+        kr = jax.random.fold_in(key, 2)
+        fin_m, hist_m = jax.jit(pf.run)(kr, st0, zs)
+        # 37 steps in chunks of 10 -> 3 full chunks + a partial tail.
+        fin_c, hist_c = pf.run_chunked(kr, st0, zs, chunk_size=10)
+        np.testing.assert_array_equal(
+            np.asarray(fin_m.particles), np.asarray(fin_c.particles)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fin_m.log_weights), np.asarray(fin_c.log_weights)
+        )
+        assert int(fin_m.t) == int(fin_c.t)
+        self._assert_hist_equal(hist_m, hist_c)
+
+    def test_interrupt_and_resume_bitexact(self, key, sv_params, tmp_path):
+        pf, st0, zs = self._setup(key, sv_params)
+        kr = jax.random.fold_in(key, 3)
+        ckpt = str(tmp_path / "ckpt")
+
+        # Uninterrupted chunked reference.
+        fin_u, hist_u = pf.run_chunked(kr, st0, zs, chunk_size=10)
+
+        # Interrupt after 2 chunks, then resume to completion.
+        fin_p, hist_p = pf.run_chunked(
+            kr, st0, zs, chunk_size=10, ckpt_dir=ckpt, stop_after_chunks=2
+        )
+        assert int(fin_p.t) == 20 and hist_p["mean"].shape[0] == 20
+        fin_r, hist_r = pf.run_chunked(
+            kr, st0, zs, chunk_size=10, ckpt_dir=ckpt, resume=True
+        )
+
+        np.testing.assert_array_equal(
+            np.asarray(fin_u.particles), np.asarray(fin_r.particles)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fin_u.log_weights), np.asarray(fin_r.log_weights)
+        )
+        assert int(fin_u.t) == int(fin_r.t) == zs.shape[0]
+        self._assert_hist_equal(hist_u, hist_r)
+
+    def test_resume_skips_completed_chunks(self, key, sv_params, tmp_path):
+        """Resuming from a finished run re-executes nothing and still
+        returns the full history from the checkpoint slabs."""
+        pf, st0, zs = self._setup(key, sv_params, T=20)
+        kr = jax.random.fold_in(key, 4)
+        ckpt = str(tmp_path / "ckpt")
+        fin_a, hist_a = pf.run_chunked(
+            kr, st0, zs, chunk_size=10, ckpt_dir=ckpt
+        )
+        # zs of zeros would change results if anything re-ran.
+        fin_b, hist_b = pf.run_chunked(
+            kr, st0, jnp.zeros_like(zs), chunk_size=10, ckpt_dir=ckpt,
+            resume=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fin_a.particles), np.asarray(fin_b.particles)
+        )
+        self._assert_hist_equal(hist_a, hist_b)
+
+    def test_track_degeneracy_passthrough(self, key, sv_params):
+        pf, st0, zs = self._setup(key, sv_params, T=12)
+        kr = jax.random.fold_in(key, 5)
+        _, hist = pf.run_chunked(
+            kr, st0, zs, chunk_size=5, track_degeneracy=True
+        )
+        for k in ("entropy", "gini", "max_weight", "unique_frac"):
+            assert hist[k].shape == (12,)
+
+    def test_validation(self, key, sv_params):
+        pf, st0, zs = self._setup(key, sv_params, T=4)
+        with pytest.raises(ValueError, match="chunk_size"):
+            pf.run_chunked(key, st0, zs, chunk_size=0)
+        with pytest.raises(ValueError, match="resume"):
+            pf.run_chunked(key, st0, zs, chunk_size=2, resume=True)
+        with pytest.raises(ValueError, match="stop_after_chunks"):
+            pf.run_chunked(key, st0, zs, chunk_size=2, stop_after_chunks=0)
