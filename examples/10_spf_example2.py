@@ -18,10 +18,11 @@ runs (notebook: SPF-optimal ≲ SPF-linear ≪ SIR at equal wall-time budget).
 TPU-first: the notebook's inner double loop (time × λ) becomes a
 ``lax.scan`` over time whose body runs the traced SPF (its λ loop is
 itself a ``lax.scan``); the measurement Jacobian comes from ``jax.jacfwd``
-instead of finite differences. The MC-run loop stays on the host (as in
-the notebook): wrapping the optimal-β* solver's while_loop in any extra
-device-side iteration level (vmap or an outer scan) faults XLA:TPU on
-this libtpu — see the comment at the launch site.
+instead of finite differences; and all 20 MC runs are one ``vmap`` — the
+optimal-β* solver's while-free multisection root find (r4 default)
+composes with outer vmap/scan levels on TPU, which the old bisection
+while_loop could not (it hard-faulted this libtpu; see the launch-site
+comment).
 """
 
 import os
@@ -128,21 +129,14 @@ def one_run(key):
 
 keys = jax.random.split(jax.random.PRNGKey(100), N_RUNS)
 t0 = time.perf_counter()
-# MC runs loop on the HOST over one jitted run (compiled once), not
-# vmap/lax.map: wrapping the optimal-beta* shooting solver's while_loop
-# (which sits inside the per-step lax.scan) in ANY extra iteration level
-# — vmap batching or an outer scan — faults XLA:TPU with a device error
-# on this libtpu, while the single-run scan(while(scan)) program runs
-# fine (bisected: vmap(beta*) alone and scan_T(beta*) alone both work).
-# The reference notebook also loops its MC runs in Python.
-one_run_jit = jax.jit(one_run)
-_outs = [one_run_jit(k) for k in keys]
-jax.block_until_ready(_outs)
-traj = jnp.stack([o[0] for o in _outs])
-ests = {
-    name: jnp.stack([o[1][name] for o in _outs])
-    for name in _outs[0][1]
-}
+# All 20 MC runs are ONE vmap: the optimal-beta* solver's default
+# multisection root find (r4) is while-free, so the per-step solve
+# composes with the outer time-scan AND this vmap on TPU. (The r3
+# bisection solver's while_loop hard-faulted XLA:TPU under any extra
+# iteration level, which forced a host loop here — that workaround is
+# retired; `beta_solver="bisection"` would still need it.)
+traj, ests = jax.jit(jax.vmap(one_run))(keys)
+jax.block_until_ready(traj)
 wall = time.perf_counter() - t0
 
 blocks = {"position": slice(0, 3), "velocity": slice(3, 6), "acceleration": slice(6, 9)}

@@ -137,6 +137,9 @@ def solve_beta_star_bisection(
     rhs_mode: str = "tabulated",
     n_beta_tab: int = 2048,
     bounded: bool = False,
+    solver: str = "multisection",
+    multisect_width: int = 64,
+    multisect_rounds: int = 5,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Optimal β(λ): shoot β'' = µ·dκ₂/dβ with β(0)=0 to hit β(1)=1
     (reference :171-294). Fully traceable: RK4 shooting is a scan, bracket
@@ -147,27 +150,42 @@ def solve_beta_star_bisection(
     trajectory:
 
     - ``"tabulated"`` (default): ONE batched eigh over a dense β grid on
-      the clip interval [−0.5, 1.5] builds a dκ₂/dβ table; the shooting
-      RK4 stages then linearly interpolate it (~10 scalar ops each). The
-      reference evaluates an eigh at EVERY shooting stage
-      (:225-254 × :123-167 ≈ 1.3e5 sequential n×n eigh per solve, which
-      lower serially on TPU); the table is the same spectral quantity with
-      interpolation error O(Δβ²) ≈ 1e-6 at the default 2048 points — far
-      below the RK4 grid's own O(h²) truncation at h = 1/n_grid. Measured:
-      the spf_example1 optimal row went 3.53 s → see
+      the clip interval [−0.5, 1.5] tabulates λ_min/λ_max of M(β) and
+      their β-derivatives; the shooting RK4 stages linearly interpolate
+      THOSE (smooth, |dλ| ≤ ‖Mh‖₂) and form dκ₂/dβ's rational expression
+      exactly (~20 scalar ops each). The reference evaluates an eigh at
+      EVERY shooting stage (:225-254 × :123-167 ≈ 1.3e5 sequential n×n
+      eigh per solve, which lower serially on TPU). Interpolating the
+      eigenvalues rather than dκ₂/dβ itself keeps the table exact near
+      the 1/λ_min² blow-up that ill-conditioned priors put next to the
+      shooting domain (see the inline note). Measured: the spf_example1
+      optimal row went 3.53 s → 0.31 s (109× the reference) — see
       ``benchmarks/profile_spf.py``.
     - ``"exact"``: the reference's per-stage eigh (bit-compatible with the
       r3 behavior; used by equivalence tests).
 
-    ``bounded=True`` replaces the bracket-expansion ``lax.while_loop``
-    with a masked ``fori_loop`` of exactly ``max_bracket_expand``
-    iterations (converged iterations recompute and discard). Use it when
-    this solve sits under an outer device-side iteration level on TPU —
-    nesting a while_loop inside vmap/scan layers can hard-fault
-    XLA:TPU with an opaque "TPU device error" (CLAUDE.md; hit by
-    examples/10) — at the cost of always paying the worst-case bracket
-    work. The two variants produce identical schedules
-    (``tests/unit/test_spf.py`` pins it).
+    ``solver`` selects the root find for the shooting slope s = β'(0):
+
+    - ``"multisection"`` (default): batched bracketing — every round
+      evaluates a whole vector of candidate slopes in ONE vmapped
+      shooting scan (round 0: the full doubling ladder; rounds 1..k: a
+      ``multisect_width``-point split of the bracket). ~6 sequential
+      scans instead of ~85, which is the whole cost on TPU where each
+      RK4 stage is dispatch-floor-bound. While-free by construction, so
+      it composes with outer vmap/scan (no ``bounded`` needed).
+    - ``"bisection"``: the reference's sequential bracket + bisection
+      (:261-287), one shooting scan per F-evaluation. Same root to f32
+      resolution (pinned by ``tests/unit/test_spf.py``).
+
+    ``bounded=True`` (bisection only) replaces the bracket-expansion
+    ``lax.while_loop`` with a masked ``fori_loop`` of exactly
+    ``max_bracket_expand`` iterations (converged iterations recompute and
+    discard). Use it when the bisection solver sits under an outer
+    device-side iteration level on TPU — nesting a while_loop inside
+    vmap/scan layers can hard-fault XLA:TPU with an opaque "TPU device
+    error" (CLAUDE.md; hit by examples/10) — at the cost of always paying
+    the worst-case bracket work. The two variants produce identical
+    schedules (``tests/unit/test_spf.py`` pins it).
     """
     M0 = symmetrize(jnp.asarray(M0))
     Mh = symmetrize(jnp.asarray(Mh))
@@ -177,24 +195,72 @@ def solve_beta_star_bisection(
 
     b_lo, b_hi = -0.5, 1.5  # the clip interval of the rhs (reference :149)
     if rhs_mode == "tabulated":
+        # Tabulate the EIGEN-QUANTITIES, not dκ₂/dβ itself: λ_min/λ_max of
+        # M(β) and their β-derivatives are smooth and Lipschitz (|dλ| ≤
+        # ‖Mh‖₂), so linear interpolation is accurate everywhere — whereas
+        # dκ₂/dβ = dλ_max/λ_min − λ_max·dλ_min/λ_min² blows up like
+        # 1/(β−β₀)² where M(β) approaches singular, and interpolating IT
+        # directly is catastrophically wrong near β₀ (ill-conditioned
+        # priors put β₀ within Δβ of the shooting domain: spf example 1's
+        # P0=diag(1000,2) has β₀ ≈ −7e-4, where the naive dκ table skewed
+        # β′(0) 24→157 and tripled the posterior RMSE). The rational
+        # expression is formed EXACTLY from the interpolated eigenvalues at
+        # every stage, so the 1/λ_min² structure is analytic, not sampled.
         tab = jnp.linspace(b_lo, b_hi, n_beta_tab, dtype=dtype)
-        _, dk_tab = jax.vmap(
-            lambda b: kappa2_and_derivative(M0 + b * Mh, Mh)
-        )(tab)
+        eye = jnp.eye(M0.shape[0], dtype=dtype)
+
+        def _eig_parts(b):
+            w, V = jnp.linalg.eigh(symmetrize(M0 + b * Mh) + 1e-12 * eye)
+            lam_min = jnp.maximum(jnp.abs(w[0]), 1e-12)
+            lam_max = jnp.maximum(jnp.abs(w[-1]), 1e-12)
+            return (
+                lam_min,
+                lam_max,
+                V[:, 0] @ Mh @ V[:, 0],
+                V[:, -1] @ Mh @ V[:, -1],
+            )
+
+        parts_tab = jax.vmap(_eig_parts)(tab)  # 4 × (n_beta_tab,)
+        packed_tab = jnp.stack(parts_tab, axis=-1)  # (n_beta_tab, 4)
         inv_db = jnp.asarray((n_beta_tab - 1) / (b_hi - b_lo), dtype)
 
         def rhs(beta):
             pos = (jnp.clip(beta, b_lo, b_hi) - b_lo) * inv_db
             i0 = jnp.clip(pos.astype(jnp.int32), 0, n_beta_tab - 2)
             frac = pos - i0.astype(dtype)
-            dk = dk_tab[i0] * (1.0 - frac) + dk_tab[i0 + 1] * frac
+            if jnp.ndim(beta) == 0:
+                # scalar stage (bisection / final trajectory): two
+                # dynamic-slice lookups per table
+                lam_min, lam_max, dlam_min, dlam_max = (
+                    p[i0] * (1.0 - frac) + p[i0 + 1] * frac
+                    for p in parts_tab
+                )
+            else:
+                # batched stage (multisection): XLA lowers small irregular
+                # gathers to ~0.25 µs/element serial loops on TPU, so a
+                # (B, 2048) one-hot compare + one MXU matmul replaces the
+                # 8·B-element gather (CLAUDE.md's dense-compare rule)
+                idx = jnp.arange(n_beta_tab, dtype=jnp.int32)[None, :]
+                i0c = i0[:, None]
+                w = jnp.where(
+                    idx == i0c, (1.0 - frac)[:, None], 0.0
+                ) + jnp.where(idx == i0c + 1, frac[:, None], 0.0)
+                lam_min, lam_max, dlam_min, dlam_max = jnp.moveaxis(
+                    w @ packed_tab, -1, 0
+                )
+            dk = dlam_max / lam_min - (lam_max * dlam_min) / lam_min**2
             return mu * dk
 
     elif rhs_mode == "exact":
 
         def rhs(beta):
             beta = jnp.clip(beta, b_lo, b_hi)
-            _, dk = kappa2_and_derivative(M0 + beta * Mh, Mh)
+            if jnp.ndim(beta) == 0:
+                _, dk = kappa2_and_derivative(M0 + beta * Mh, Mh)
+            else:  # batched stage (multisection)
+                _, dk = jax.vmap(
+                    lambda b: kappa2_and_derivative(M0 + b * Mh, Mh)
+                )(beta)
             return mu * dk
 
     else:
@@ -211,19 +277,66 @@ def solve_beta_star_bisection(
         return (y1n, y2n), (y1n, y2n)
 
     def integrate(s0):
+        """Shoot from β(0)=0 with slope(s) ``s0`` — scalar or a (B,) batch
+        of candidate slopes (the scan carry broadcasts; rhs is
+        shape-polymorphic)."""
+        s0 = jnp.asarray(s0, dtype)
         (bf, _), (betas, betadots) = lax.scan(
             rk4_body,
-            (jnp.asarray(0.0, dtype), jnp.asarray(s0, dtype)),
+            (jnp.zeros_like(s0), s0),
             None,
             length=n_grid - 1,
         )
-        beta = jnp.concatenate([jnp.zeros((1,), dtype), betas])
-        betadot = jnp.concatenate([jnp.asarray(s0, dtype)[None], betadots])
+        beta = jnp.concatenate([jnp.zeros_like(s0)[None], betas])
+        betadot = jnp.concatenate([s0[None], betadots])
         return beta, betadot
 
     def F(s0):
         beta, _ = integrate(s0)
         return beta[-1] - 1.0
+
+    if solver == "multisection":
+        # While-free batched root find: ONE vmapped shooting scan per
+        # round instead of one scan per bracket/bisection F-evaluation
+        # (~6 sequential scans vs ~85 — each RK4 stage is floor-bound on
+        # TPU, so wall time scales with the NUMBER of sequential scans,
+        # not the batch width). Round 0 evaluates the bisection path's
+        # whole doubling ladder s_lo·2^k / s_hi·2^k at once; each later
+        # round splits the bracket into ``multisect_width−1`` cells and
+        # keeps the first sign change, shrinking the bracket ~63× per
+        # round (5 rounds ≈ 63⁵ ≈ 1e9 ≫ f32 resolution — equivalence
+        # with bisection is pinned by tests/unit/test_spf.py at 1e-4 on
+        # β). No while_loop anywhere, so this composes with outer
+        # vmap/scan on TPU without the ``bounded`` workaround.
+        ks = jnp.arange(max_bracket_expand + 1, dtype=dtype)
+        cand = jnp.sort(
+            jnp.concatenate(
+                [jnp.asarray(s_lo, dtype) * 2.0**ks,
+                 jnp.asarray(s_hi, dtype) * 2.0**ks]
+            )
+        )
+
+        def _first_change(S, FS):
+            change = jnp.sign(FS[:-1]) != jnp.sign(FS[1:])
+            j = jnp.argmax(change)  # first True (0 if none: degenerate)
+            return S[j], S[j + 1]
+
+        lo, hi = _first_change(cand, F(cand))
+
+        def _round(_, c):
+            lo, hi = c
+            grid = lo + (hi - lo) * jnp.linspace(
+                0.0, 1.0, multisect_width, dtype=dtype
+            )
+            return _first_change(grid, F(grid))
+
+        lo, hi = lax.fori_loop(0, multisect_rounds, _round, (lo, hi))
+        s_star = 0.5 * (lo + hi)
+        beta, betadot = integrate(s_star)
+        beta = jnp.clip(beta.at[0].set(0.0).at[-1].set(1.0), 0.0, 1.0)
+        return lam, beta, betadot
+    elif solver != "bisection":
+        raise ValueError("solver must be 'multisection' or 'bisection'.")
 
     # Bracket expansion (reference :261-271)
     brk_init = (
@@ -300,13 +413,15 @@ def run_generalized_spf(
     key: Optional[jax.Array] = None,
     beta_rhs_mode: str = "tabulated",
     beta_bounded: bool = False,
+    beta_solver: str = "multisection",
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     """Generalized SPF: temper the prior into the posterior by integrating
     the homotopy SDE dX = [K₁∇log p + K₂∇log h] dλ + √Q dW over λ ∈ [0, 1]
     (reference ``run_generalized_spf`` :300-411).
 
-    ``beta_rhs_mode`` / ``beta_bounded`` forward to
-    :func:`solve_beta_star_bisection` (tabulated-vs-exact dκ₂/dβ; bounded
+    ``beta_rhs_mode`` / ``beta_bounded`` / ``beta_solver`` forward to
+    :func:`solve_beta_star_bisection` (tabulated-vs-exact dκ₂/dβ;
+    multisection-vs-bisection root find; bounded
     while-free bracket for outer vmap/scan on TPU).
 
     Returns (final particles (N, n), mean estimate (n,), info dict with the
@@ -329,6 +444,7 @@ def run_generalized_spf(
         lam_grid, beta_grid, betadot_grid = solve_beta_star_bisection(
             model.M0, model.Mh, mu=mu, n_grid=n_steps + 1,
             rhs_mode=beta_rhs_mode, bounded=beta_bounded,
+            solver=beta_solver,
         )
     else:
         raise ValueError("beta_mode must be 'linear' or 'optimal'.")

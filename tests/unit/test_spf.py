@@ -133,6 +133,47 @@ class TestBetaSchedule:
             np.asarray(bdot_t), np.asarray(bdot_e), atol=2e-3
         )
 
+    def test_tabulated_rhs_survives_near_singular_prior(self):
+        """Ill-conditioned priors put M(β)'s singular point β₀ within one
+        table cell of the shooting domain, where dκ₂/dβ blows up like
+        1/(β−β₀)². Regression for the spf_example1 configuration
+        (P0 = diag(1000, 2) ⇒ β₀ ≈ −7e-4): a table of dκ₂/dβ VALUES skews
+        the shooting slope β′(0) from 24.3 to 157 (and triples the
+        posterior RMSE); tabulating the eigenvalues and forming the
+        rational expression exactly must track the exact rhs everywhere,
+        including the velocity β′."""
+        sensors = jnp.array([[3.5, 0.0], [-3.5, 0.0]])
+        x_prior = jnp.array([3.0, 5.0])
+
+        def h(x):
+            d = x[None, :] - sensors
+            return jnp.arctan2(d[:, 1], d[:, 0])
+
+        H = jax.jacfwd(h)(x_prior)
+        model = LinearGaussianBayes.create(
+            m0=x_prior,
+            P0=jnp.diag(jnp.array([1000.0, 2.0])),
+            H=H,
+            R=0.04 * jnp.eye(2),
+            z=jnp.array([0.4754, 1.1868]),
+        )
+        out_e = solve_beta_star_bisection(
+            model.M0, model.Mh, mu=0.2, n_grid=201, rhs_mode="exact"
+        )
+        out_t = solve_beta_star_bisection(
+            model.M0, model.Mh, mu=0.2, n_grid=201, rhs_mode="tabulated"
+        )
+        for a, b, tag, tol in zip(
+            out_e, out_t, ("lam", "beta", "betadot"), (0.0, 1e-4, None)
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            if tag == "betadot":
+                # relative: β' spans 24 → ~0.5 over the path
+                np.testing.assert_allclose(b, a, rtol=5e-4, err_msg=tag)
+            else:
+                np.testing.assert_allclose(b, a, atol=max(tol, 1e-7),
+                                           err_msg=tag)
+
     def test_invalid_rhs_mode_raises(self):
         m = make_model()
         with pytest.raises(ValueError, match="rhs_mode"):
@@ -145,27 +186,73 @@ class TestBetaSchedule:
         sign change, so its schedule equals the while_loop variant exactly."""
         m = make_model(obs_scale=0.2)
         out_w = solve_beta_star_bisection(
-            m.M0, m.Mh, mu=mu, n_grid=101, bounded=False
+            m.M0, m.Mh, mu=mu, n_grid=101, bounded=False,
+            solver="bisection",
         )
         out_b = solve_beta_star_bisection(
-            m.M0, m.Mh, mu=mu, n_grid=101, bounded=True
+            m.M0, m.Mh, mu=mu, n_grid=101, bounded=True,
+            solver="bisection",
         )
         for a, b in zip(out_w, out_b):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_bounded_solver_vmaps(self, key):
-        """The bounded solver composes with vmap (the while_loop variant is
-        the one that can hard-fault under extra iteration levels on TPU)."""
+        """The bounded bisection composes with vmap (the while_loop variant
+        is the one that can hard-fault under extra iteration levels on
+        TPU)."""
         m = make_model(obs_scale=0.2)
         mus = jnp.array([0.01, 0.1, 0.3])
         _, betas, _ = jax.vmap(
             lambda mu: solve_beta_star_bisection(
-                m.M0, m.Mh, mu=mu, n_grid=51, bounded=True
+                m.M0, m.Mh, mu=mu, n_grid=51, bounded=True,
+                solver="bisection",
             )
         )(mus)
         assert betas.shape == (3, 51)
         np.testing.assert_allclose(np.asarray(betas[:, -1]), 1.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(betas[:, 0]), 0.0, atol=1e-6)
+
+    @pytest.mark.parametrize("mu", [1e-2, 0.2, 0.5])
+    @pytest.mark.parametrize("rhs_mode", ["tabulated", "exact"])
+    def test_multisection_matches_bisection(self, mu, rhs_mode):
+        """The default batched multisection root find converges to the
+        bisection solver's shooting slope: identical β/β′ schedules to f32
+        root resolution (it replaces ~85 sequential shooting scans with ~6
+        batched ones — the r4 perf fix for the spf_example1 optimal row)."""
+        m = make_model(obs_scale=0.2, prior_corr=0.3)
+        out_m = solve_beta_star_bisection(
+            m.M0, m.Mh, mu=mu, n_grid=101, rhs_mode=rhs_mode,
+            solver="multisection",
+        )
+        out_b = solve_beta_star_bisection(
+            m.M0, m.Mh, mu=mu, n_grid=101, rhs_mode=rhs_mode,
+            solver="bisection",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m[1]), np.asarray(out_b[1]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m[2]), np.asarray(out_b[2]), rtol=5e-4,
+            atol=1e-5,
+        )
+
+    def test_multisection_vmaps(self):
+        """Multisection is while-free by construction — safe under vmap."""
+        m = make_model(obs_scale=0.2)
+        mus = jnp.array([0.01, 0.1, 0.3])
+        _, betas, _ = jax.vmap(
+            lambda mu: solve_beta_star_bisection(
+                m.M0, m.Mh, mu=mu, n_grid=51
+            )
+        )(mus)
+        assert betas.shape == (3, 51)
+        np.testing.assert_allclose(np.asarray(betas[:, -1]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(betas[:, 0]), 0.0, atol=1e-6)
+
+    def test_invalid_solver_raises(self):
+        m = make_model()
+        with pytest.raises(ValueError, match="solver"):
+            solve_beta_star_bisection(m.M0, m.Mh, mu=0.1, solver="bogus")
 
 
 @pytest.mark.integration
