@@ -26,15 +26,26 @@ OUT_PNG = os.path.join(REPO, "benchmarks", "figures", "scaling_curve.png")
 BASELINE = 2.0e5  # reference CPU SIR PF particle-steps/s (BASELINE.md)
 
 
-def measure(n_particles: int, n_steps: int = 200):
+def measure(n_particles: int, n_steps: int = 200, m_hi: int = None):
+    """Steady-state per-step time by the SLOPE protocol: two scan lengths
+    (n_steps and m_hi) timed behind one scalar sync each, differenced, so
+    both the RPC floor AND the per-dispatch host→tunnel latency cancel.
+    Chaining whole short runs (the previous strategy) is dispatch-bound on
+    the tunneled link below ~2¹⁸ particles — the device finishes a 200-step
+    N=2¹⁶ run faster than the host can issue the next RPC, which read as a
+    fake 3-5× slowdown at exactly the sizes this curve is meant to pin
+    (benchmarks/profile_small_n.py found the same programs 3× faster)."""
     from particle_filters_tpu.ops.fused_pf import FusedSIRFilter
     from particle_filters_tpu.simulators.stochastic_volatility import (
         simulate_sv_1d,
     )
 
+    if m_hi is None:
+        # Long enough that the hi run dwarfs the ±1-3 ms tunnel timing
+        # noise even at the ~4 µs/step small-N floor.
+        m_hi = 8000 if n_particles <= (1 << 16) else 1700
     alpha, sigma = 0.95, 0.2
-    sv = simulate_sv_1d(n_steps, alpha, sigma, 1.0, seed=42)
-    zs = sv.Y[:, None]
+    sv = simulate_sv_1d(m_hi, alpha, sigma, 1.0, seed=42)
     g_vec = lambda x: alpha * x
 
     def obs_ll_vec(x, z):
@@ -49,50 +60,36 @@ def measure(n_particles: int, n_steps: int = 200):
         jax.random.PRNGKey(0), jnp.zeros(1),
         jnp.array([[sigma**2 / (1 - alpha**2)]]),
     )
-    run = jax.jit(lambda k, s: pf.run(k, s, zs))
 
-    final, hist = run(jax.random.PRNGKey(2), state0)
-    float(hist["mean"][0, 0])  # sync (tunnel-safe)
+    def make_run(m):
+        zs = sv.Y[:m][:, None]
+        return jax.jit(lambda k, s: pf.run(k, s, zs))
 
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0)))
-    rpc_times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        float(trivial(jnp.float32(i)))
-        rpc_times.append(time.perf_counter() - t0)
-    rpc = min(rpc_times)
-
-    # Pilot, then chain runs behind ONE sync when a whole sequence is
-    # near/below the RPC floor (N=2^14: ~2.6 ms vs a ~4 ms floor) — an
-    # unclamped floor subtraction there reads as ~0 s and an absurd
-    # throughput (run_benchmarks.py::timed's strategy).
-    t0 = time.perf_counter()
-    _, hist = run(jax.random.PRNGKey(3), state0)
+    run_lo, run_hi = make_run(n_steps), make_run(m_hi)
+    # Warm both compiles; sync via a scalar pull (tunnel-safe).
+    _, hist = run_lo(jax.random.PRNGKey(2), state0)
     float(hist["mean"][0, 0])
-    pilot = time.perf_counter() - t0 - rpc
-    if pilot > 8.0 * rpc:
-        chain = 1
-    elif pilot > rpc / 8.0:
-        chain = 16
-    else:
-        chain = 256
-    times = []
-    for i in range(3):
+    _, hist_hi = run_hi(jax.random.PRNGKey(2), state0)
+    float(hist_hi["mean"][0, 0])
+
+    ts_lo, ts_hi = [], []
+    for i in range(4):
         t0 = time.perf_counter()
-        for j in range(chain):
-            _, hist = run(jax.random.PRNGKey(3 + i + j), state0)
-        float(hist["mean"][0, 0])
-        times.append(
-            max((time.perf_counter() - t0 - rpc) / chain, 1e-9)
-        )
-    best = min(times)
+        _, h = run_lo(jax.random.PRNGKey(3 + i), state0)
+        float(h["mean"][0, 0])
+        ts_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _, h = run_hi(jax.random.PRNGKey(3 + i), state0)
+        float(h["mean"][0, 0])
+        ts_hi.append(time.perf_counter() - t0)
+    per_step = (min(ts_hi) - min(ts_lo)) / (m_hi - n_steps)
+    best = max(per_step, 1e-12) * n_steps
     return {
         "n_particles": n_particles,
         "n_steps": n_steps,
         "seconds": best,
         "particle_steps_per_sec": n_particles * n_steps / best,
-        "resample_frac": float(jnp.mean(hist["resampled"])),
+        "resample_frac": float(jnp.mean(hist_hi["resampled"])),
     }
 
 

@@ -68,13 +68,14 @@ def _fused_kernel(
     lw_ref,  # f32 VMEM unnormalized log-weights: (8, B/8) for nx=1, (1, B) else
     p_out,  # (nx, B)
     lw_out,  # (1, B)
-    part_out,  # (1, 128) per-block weight partials
+    part_out,  # (1, 128) per-block weight partials (or final moments)
     *,
     g_vec: Callable,
     obs_ll_vec: Callable,
     Lq: np.ndarray,  # (nx, nx) static
     nx: int,
     n_total: int,
+    finalize: bool,
 ):
     b = pl.program_id(0)
     # Two-word seed (step_seed, global_block_id): additive seed+b would let
@@ -166,8 +167,25 @@ def _fused_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).reshape(nx * nx)
-    head = jnp.stack([m, s, e2])  # (3,)
-    packed = jnp.concatenate([head, ex, exx])  # (3 + nx + nx²,)
+    if finalize:
+        # Single block, unsharded: the block partials ARE the global
+        # moments, so finish them here — scalar VPU algebra — instead of
+        # handing (max, Σe, Σe², …) to an XLA combine. At small N the
+        # per-step cost is ~10 tiny XLA ops around the kernel, not the
+        # kernel itself (benchmarks/profile_small_n.py); this removes the
+        # combine's share. Packed row: [log_z, ess, mean(nx), (Σe·x⊗x)/Σe
+        # (nx²)] — the − mean⊗mean completion happens OUTSIDE (post-scan,
+        # two XLA ops for the whole run; an in-kernel outer would need a
+        # (nx, nx) → (nx²,) relayout Mosaic handles poorly).
+        log_z = m + jnp.log(jnp.maximum(s, 1e-30))
+        ess = (s * s) / jnp.maximum(e2, 1e-30)
+        mean = ex / s
+        packed = jnp.concatenate(
+            [jnp.stack([log_z, ess]), mean.reshape(nx), (exx / s).reshape(nx * nx)]
+        )  # (2 + nx + nx²,)
+    else:
+        head = jnp.stack([m, s, e2])  # (3,)
+        packed = jnp.concatenate([head, ex, exx])  # (3 + nx + nx²,)
     pad = 128 - packed.shape[0]
     part_out[:, :] = jnp.concatenate(
         [packed, jnp.zeros((pad,), jnp.float32)]
@@ -182,6 +200,11 @@ def _combine_partials(partials, nx: int, axis_name=None):
     is exact under a pmax/psum pair (the same algebra, with the global max
     taken across shards first), so the sharded fused filter reproduces the
     single-device log-normalizer/ESS/moments up to f32 summation order.
+
+    Returns ``(log_z, ess, mean, exx)`` with ``exx`` the NORMALIZED second
+    moment (Σw·x⊗x, flat (nx²,)); the covariance completion
+    ``exx − mean⊗mean`` happens post-scan (``FusedSIRFilter._unpack_rows``)
+    so the scan body carries one packed row instead of per-step moments.
     """
     m_b = partials[:, 0]
     s_b = partials[:, 1]
@@ -202,9 +225,8 @@ def _combine_partials(partials, nx: int, axis_name=None):
     sum_w2 = _sum(jnp.sum(e2_b * scale * scale))  # Σ exp(2(lw − m_g))
     ess = (Z * Z) / jnp.maximum(sum_w2, 1e-30)
     mean = _sum(scale @ ex_b) / Z  # (nx,)
-    exx = _sum(scale @ exx_b).reshape(nx, nx) / Z
-    cov = exx - jnp.outer(mean, mean)
-    return log_z, ess, mean, cov
+    exx = _sum(scale @ exx_b) / Z  # (nx²,) normalized second moment
+    return log_z, ess, mean, exx
 
 
 class FusedSIRFilter:
@@ -331,23 +353,48 @@ class FusedSIRFilter:
             logw - off_u[0],
         )
 
-    def _fused_step(self, seed, off_uniform, particles_t, logw, z):
+    def _seed_pair(self, seed):
+        """(1, 2) int32 kernel seed: (per-step seed, shard block offset).
+
+        The second word offsets the per-block PRNG stream id so that under
+        a sharded particle axis every (shard, block) pair draws a distinct
+        stream from the SAME replicated step seed. 0 on a single device
+        (original stream). ``run`` builds all T pairs in one op outside
+        the scan; ``step`` pays the two ops once.
+        """
         n_blocks = self.Np // self.block
-        nz = z.shape[0]
-        z_pad = jnp.zeros((1, 128), jnp.float32).at[0, :nz].set(z)
-        # Second seed word: this shard's global block offset, so every
-        # (shard, block) pair draws a distinct PRNG stream from the SAME
-        # replicated step seed. 0 on a single device (original stream).
         if self.axis_name is not None:
             blk_off = lax.axis_index(self.axis_name) * n_blocks
         else:
             blk_off = 0
-        seed_arr = jnp.stack(
-            [
-                jnp.asarray(seed, jnp.int32),
-                jnp.asarray(blk_off, jnp.int32),
-            ]
+        return jnp.stack(
+            [jnp.asarray(seed, jnp.int32), jnp.asarray(blk_off, jnp.int32)]
         ).reshape(1, 2)
+
+    def _pad_obs(self, zs):
+        """(..., nz) observations -> (..., 1, 128) kernel rows, one op."""
+        zs = jnp.asarray(zs, jnp.float32)
+        nz = zs.shape[-1]
+        out = jnp.zeros(zs.shape[:-1] + (1, 128), jnp.float32)
+        return lax.dynamic_update_slice_in_dim(
+            out, zs[..., None, :], 0, axis=out.ndim - 1
+        )
+
+    def _fused_step(self, seed_arr, off_uniform, particles_t, logw, z_pad):
+        """One kernel call. ``seed_arr`` is a prebuilt (1, 2) int32 pair
+        (:meth:`_seed_pair`) and ``z_pad`` a prebuilt (1, 128) row
+        (:meth:`_pad_obs`) — both hoisted out of the scan so the step body
+        stays free of tiny per-step XLA prep ops
+        (benchmarks/profile_small_n.py measured the prep + combine around
+        the kernel, not the kernel, as the small-N floor).
+
+        Returns ``(p_new, lw_new, row)`` with ``row`` the packed (128,)
+        moments ``[log_z, ess, mean(nx), Σw·x⊗x(nx²), 0…]`` — finalized
+        in-kernel when this filter is single-block and unsharded, via
+        :func:`_combine_partials` otherwise.
+        """
+        n_blocks = self.Np // self.block
+        finalize = n_blocks == 1 and self.axis_name is None
         off_arr = jnp.asarray(off_uniform, jnp.float32).reshape(1, 2)
 
         kern = functools.partial(
@@ -357,6 +404,7 @@ class FusedSIRFilter:
             Lq=self.Lq,
             nx=self.nx,
             n_total=self.n_global,
+            finalize=finalize,
         )
         p_new, lw_new, partials = pl.pallas_call(
             kern,
@@ -389,11 +437,33 @@ class FusedSIRFilter:
                 jax.ShapeDtypeStruct((1, n_blocks * 128), jnp.float32),
             ),
         )(seed_arr, off_arr, z_pad, particles_t, logw)
-        partials = partials.reshape(n_blocks, 128)
-        log_z, ess, mean, cov = _combine_partials(
-            partials, self.nx, self.axis_name
-        )
-        return p_new, lw_new, log_z, ess, mean, cov
+        if finalize:
+            row = partials.reshape(128)
+        else:
+            log_z, ess, mean, exx = _combine_partials(
+                partials.reshape(n_blocks, 128), self.nx, self.axis_name
+            )
+            packed = jnp.concatenate([jnp.stack([log_z, ess]), mean, exx])
+            row = jnp.concatenate(
+                [packed, jnp.zeros((128 - packed.shape[0],), jnp.float32)]
+            )
+        return p_new, lw_new, row
+
+    def _unpack_rows(self, rows):
+        """Packed moment rows (..., 128) -> (log_z, ess, mean, cov).
+
+        Called ONCE post-scan on the whole (T, 128) history (and by
+        ``step`` on a single row), so unpacking costs four slices + the
+        covariance completion for the entire run instead of per step.
+        """
+        nx = self.nx
+        log_z = rows[..., 0]
+        ess = rows[..., 1]
+        mean = rows[..., 2 : 2 + nx]
+        exx = rows[..., 2 + nx : 2 + nx + nx * nx]
+        exx = exx.reshape(exx.shape[:-1] + (nx, nx))
+        cov = exx - mean[..., :, None] * mean[..., None, :]
+        return log_z, ess, mean, cov
 
     def _to_flat(self, pt):
         """(rows, cols) kernel layout -> (Np_local, nx) resampling layout."""
@@ -446,13 +516,20 @@ class FusedSIRFilter:
             )
         return self._from_flat(p_new), ok
 
-    def _step_core(self, seed, rkey, carry, z):
-        """One fused step + conditional resample; shared by run/step."""
+    def _step_core(self, seed_arr, rkey, carry, z_pad):
+        """One fused step + conditional resample; shared by run/step.
+
+        Returns the RAW per-step record ``(row, trigger, ex_ok)`` — the
+        packed moments row plus flags; callers unpack via
+        :meth:`_unpack_rows` (post-scan in ``run``) so the scan body stays
+        at ~8 XLA ops around the one kernel call.
+        """
         particles_t, logw, off_u = carry
-        particles_t, logw, log_z, ess, mean, cov = self._fused_step(
-            seed, off_u, particles_t, logw, z
+        particles_t, logw, row = self._fused_step(
+            seed_arr, off_u, particles_t, logw, z_pad
         )
-        trigger = ess < self.resample_thresh * self.n_global
+        log_z = row[0]
+        trigger = row[1] < self.resample_thresh * self.n_global
 
         def do_res(op):
             k, pt, lw = op
@@ -475,19 +552,23 @@ class FusedSIRFilter:
             jnp.array([0.0, 1.0], jnp.float32),
             jnp.stack([log_z, jnp.float32(0.0)]),
         )
-        hist = {
+        return (particles_t, logw, off_u), (row, trigger, ex_ok)
+
+    def _hist_dict(self, rows, trigger, ex_ok):
+        """History schema shared with ``ParticleFilter.run``. The packed
+        rows carry the incremental log-evidence log p(z_t | z_{1:t-1})
+        directly (effective carry log-weights stay normalized, so the
+        block-partial log-normalizer IS the increment — VERDICT r2 weak
+        #6)."""
+        log_z, ess, mean, cov = self._unpack_rows(rows)
+        return {
             "mean": mean,
             "cov": cov,
             "ess": ess,
             "resampled": trigger,
-            # effective carry log-weights stay normalized, so the
-            # block-partial log-normalizer is exactly the incremental
-            # log-evidence log p(z_t | z_{1:t-1}) — ParticleFilter.run's
-            # convention (VERDICT r2 weak #6).
             "log_evidence": log_z,
             "exchange_ok": ex_ok,
         }
-        return (particles_t, logw, off_u), hist
 
     def step(self, key, state, z):
         """One filter step (fused kernel + conditional resample).
@@ -500,7 +581,10 @@ class FusedSIRFilter:
             key, (), minval=0, maxval=np.int32(2**31 - 1), dtype=jnp.int32
         )
         rkey = jax.random.fold_in(key, 1)
-        return self._step_core(seed, rkey, carry, jnp.asarray(z))
+        new_carry, (row, trigger, ex_ok) = self._step_core(
+            self._seed_pair(seed), rkey, carry, self._pad_obs(jnp.asarray(z))
+        )
+        return new_carry, self._hist_dict(row, trigger, ex_ok)
 
     def run(self, key, state, zs):
         """Filter a (T, nz) sequence; history mirrors ``ParticleFilter.run``.
@@ -512,12 +596,16 @@ class FusedSIRFilter:
             key, (T,), minval=0, maxval=np.int32(2**31 - 1), dtype=jnp.int32
         )
         res_keys = jax.random.split(jax.random.fold_in(key, 1), T)
+        # All per-step kernel prep hoisted out of the scan: T prebuilt
+        # (1, 2) seed pairs and T prebuilt (1, 128) observation rows.
+        seed_pairs = jax.vmap(self._seed_pair)(seeds)
+        zs_pad = self._pad_obs(zs)
 
         def body(carry, inp):
-            seed, rkey, z = inp
-            return self._step_core(seed, rkey, carry, z)
+            seed_arr, rkey, z_pad = inp
+            return self._step_core(seed_arr, rkey, carry, z_pad)
 
-        (particles_t, logw, off_u), hist = lax.scan(
-            body, (particles_t0, logw0, off_u0), (seeds, res_keys, zs)
+        (particles_t, logw, off_u), (rows, trig, ex_ok) = lax.scan(
+            body, (particles_t0, logw0, off_u0), (seed_pairs, res_keys, zs_pad)
         )
-        return (particles_t, logw, off_u), hist
+        return (particles_t, logw, off_u), self._hist_dict(rows, trig, ex_ok)

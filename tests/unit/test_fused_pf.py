@@ -46,7 +46,10 @@ class TestCombinePartials:
             partials.append(row)
         partials = jnp.stack(partials)
 
-        log_z, ess, mean, cov = _combine_partials(partials, nx)
+        log_z, ess, mean, exx = _combine_partials(partials, nx)
+        # combine returns the normalized second moment; covariance
+        # completion happens post-scan (FusedSIRFilter._unpack_rows)
+        cov = exx.reshape(nx, nx) - jnp.outer(mean, mean)
 
         lw_flat = lw.reshape(-1)
         x_flat = jnp.concatenate([x[i] for i in range(n_blocks)], axis=1)
