@@ -8,6 +8,14 @@ ancestry) execute, and how wall time behaves as the mesh widens — NOT TPU
 performance (single-chip TPU numbers live in bench.py / results.json; real
 multi-chip hardware is not available in this environment).
 
+Two filter families run:
+- the generic vmap ``ParticleFilter`` (N=2^17, all_gather and neighbor
+  resample modes), and
+- the FLAGSHIP fused Pallas path (``parallel/fused_sharded.py``) in Pallas
+  interpret mode (the Mosaic kernel itself needs a TPU; interpret mode
+  executes the identical shard_map/collective/resample structure), at a
+  smaller N=2^15 since interpretation multiplies kernel cost.
+
 Usage:  python benchmarks/bench_multichip.py
 Prints one JSON line per configuration.
 """
@@ -92,9 +100,59 @@ def main():
         best, (final, hist) = timed(run, key, st0, zs)
         rmse = float(jnp.sqrt(jnp.mean((hist["mean"][:, 0] - sv.X) ** 2)))
         print(json.dumps({
+            "path": "generic",
             "devices": n_dev,
             "resample": mode,
             "n_global": N_GLOBAL,
+            "wall_s": round(best, 4),
+            "sv_rmse": round(rmse, 4),
+            "resample_frac": round(float(jnp.mean(hist["resampled"])), 3),
+            "exchange_ok_all": bool(jnp.all(hist["exchange_ok"])),
+        }))
+
+    # FLAGSHIP fused Pallas path over the same mesh widths (interpret
+    # mode off-TPU; the structure — shard_map, per-(shard, block) PRNG,
+    # pmax/psum partial combining, cross-shard blocked resample — is
+    # exactly what runs on real chips).
+    from jax.experimental.pallas import tpu as pltpu
+
+    from particle_filters_tpu.parallel import (
+        make_sharded_fused_init,
+        make_sharded_fused_pf,
+        make_sharded_fused_run,
+    )
+
+    n_fused = 1 << 15
+    for n_dev, mode in [(1, "all_gather"), (2, "all_gather"),
+                        (4, "all_gather"), (8, "all_gather"),
+                        (8, "neighbor")]:
+        mesh = Mesh(
+            np.asarray(devices[:n_dev]).reshape(1, n_dev),
+            ("batch", "particles"),
+        )
+        with pltpu.force_tpu_interpret_mode():
+            fpf = make_sharded_fused_pf(
+                lambda x: ALPHA * x,
+                lambda x, z: -0.5 * (z[0] ** 2 / jnp.exp(x) + x),
+                Q=np.array([[SIGMA**2]]),
+                Np=n_fused,
+                mesh=mesh,
+                resample_thresh=0.5,
+                distributed_resample=mode,
+                neighbor_radius=2,
+            )
+            st0 = make_sharded_fused_init(fpf, mesh)(
+                key, jnp.zeros(1),
+                jnp.array([[SIGMA**2 / (1 - ALPHA**2)]]),
+            )
+            run = make_sharded_fused_run(fpf, mesh)
+            best, (final, hist) = timed(run, key, st0, zs)
+        rmse = float(jnp.sqrt(jnp.mean((hist["mean"][:, 0] - sv.X) ** 2)))
+        print(json.dumps({
+            "path": "fused",
+            "devices": n_dev,
+            "resample": mode,
+            "n_global": n_fused,
             "wall_s": round(best, 4),
             "sv_rmse": round(rmse, 4),
             "resample_frac": round(float(jnp.mean(hist["resampled"])), 3),

@@ -14,6 +14,13 @@ TPU-native design: per-particle loops (propagate :206-208, RK4 :277-280,
 weight correction :285-298) are ``vmap``; the λ-loop is a ``lax.scan``
 (fixed length — static shapes); the tracker is explicit carried state
 (see ``trackers.py``); solves are Cholesky-based.
+
+With ``axis_name`` set, the particle axis shards over a device mesh: the
+flow integration and weight correction are embarrassingly parallel per
+shard (the flow matrices A(λ), b(λ) depend only on the replicated tracker
+state), the log-normalizer/ESS/moments ride psum, and the ESS-triggered
+resample gathers the global cloud with the deterministic-per-key ancestry
+(each shard keeps its slice) — see ``parallel/flow_sharded.py``.
 """
 
 from __future__ import annotations
@@ -89,6 +96,7 @@ class EDHFlowPF:
         log_like_pdf: Callable,
         R,
         config: Optional[EDHConfig] = None,
+        axis_name: Optional[str] = None,
     ) -> None:
         self.tracker = tracker
         self.g = g
@@ -99,6 +107,20 @@ class EDHFlowPF:
         self.R = jnp.asarray(R)
         self.cfg = config or EDHConfig()
         self.LR = chol_with_jitter(self.R, initial=1e-10)
+        self.axis_name = axis_name
+
+    def _total_n(self, particles: jax.Array) -> int:
+        """Global particle count (local rows × mesh axis size)."""
+        n = particles.shape[0]
+        if self.axis_name is not None:
+            n = n * jax.lax.axis_size(self.axis_name)
+        return n
+
+    def _shard_key(self, key: jax.Array) -> jax.Array:
+        """Per-shard key so sharded noise draws are distinct streams."""
+        if self.axis_name is None:
+            return key
+        return jax.random.fold_in(key, jax.lax.axis_index(self.axis_name))
 
     # ------------------------------- API --------------------------------
 
@@ -167,7 +189,7 @@ class EDHFlowPF:
         if process_noise_sampler is None:
             v = jnp.zeros((n, nx), state.particles.dtype)
         else:
-            v = process_noise_sampler(k_noise, n, nx)
+            v = process_noise_sampler(self._shard_key(k_noise), n, nx)
         eta0 = jax.vmap(lambda x, vi: self.g(x, u, vi))(state.particles, v)
         etabar0 = self.g(ts.past_mean, u, jnp.zeros(nx, state.particles.dtype))
 
@@ -200,29 +222,41 @@ class EDHFlowPF:
             + self.log_like_pdf(z, x_new)
             - self.log_trans_pdf(e0, x_old)
         )(xk, state.particles, eta0)
-        logw, _ = log_normalize(state.log_weights + log_corr)
+        logw, _ = log_normalize(state.log_weights + log_corr, self.axis_name)
 
         # Tracker measurement update (reference :301)
         ts, _, _ = self.tracker.update(ts, z)
 
-        # ESS-triggered systematic resample (reference :304-309)
+        # ESS-triggered systematic resample (reference :304-309). Sharded:
+        # deterministic-per-key GLOBAL ancestry from an all_gather of the
+        # cloud, each shard keeping its slice (same scheme as
+        # ParticleFilter._maybe_resample; flow clouds are small enough —
+        # N ≤ 10⁴ in every reference workload — that the gather is cheap).
         trigger = jnp.asarray(False)
         if self.cfg.resample_ess_ratio > 0.0:
-            ess = ess_from_logw(logw)
-            trigger = ess < self.cfg.resample_ess_ratio * n
+            ess = ess_from_logw(logw, self.axis_name)
+            trigger = ess < self.cfg.resample_ess_ratio * self._total_n(xk)
 
             def do_res(op):
                 k, p, lw = op
+                if self.axis_name is not None:
+                    p_all = lax.all_gather(p, self.axis_name, axis=0, tiled=True)
+                    lw_all = lax.all_gather(lw, self.axis_name, axis=0, tiled=True)
+                    vals = systematic_resample_values(k, p_all, logw=lw_all)
+                    i = lax.axis_index(self.axis_name)
+                    p_new = lax.dynamic_slice_in_dim(vals, i * n, n, axis=0)
+                else:
+                    p_new = systematic_resample_values(k, p, logw=lw)
                 return (
-                    systematic_resample_values(k, p, logw=lw),
-                    uniform_logw(n, lw.dtype),
+                    p_new,
+                    uniform_logw(self._total_n(p), lw.dtype)[:n],
                 )
 
             xk, logw = lax.cond(
                 trigger, do_res, lambda op: (op[1], op[2]), (k_res, xk, logw)
             )
 
-        mean, cov = weighted_mean_cov(xk, logw)
+        mean, cov = weighted_mean_cov(xk, logw, self.axis_name)
         new_state = FlowPFState(
             particles=xk,
             weights=jnp.exp(logw),
@@ -255,7 +289,7 @@ class EDHFlowPF:
             hist = {
                 "mean": st.mean,
                 "cov": st.cov,
-                "ess": ess_from_logw(st.log_weights),
+                "ess": ess_from_logw(st.log_weights, self.axis_name),
                 "resampled": st.diagnostics["resampled"],
                 "condition_numbers": st.diagnostics["condition_numbers"],
             }

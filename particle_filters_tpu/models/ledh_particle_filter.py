@@ -63,6 +63,7 @@ class LEDHFlowPF:
         log_like_pdf: Callable,
         R,
         config: Optional[LEDHConfig] = None,
+        axis_name: Optional[str] = None,
     ) -> None:
         self.tracker = tracker
         self.g = g
@@ -76,6 +77,24 @@ class LEDHFlowPF:
         self.R_inv = jax.scipy.linalg.cho_solve(
             (self.LR, True), jnp.eye(self.R.shape[0], dtype=self.R.dtype)
         )
+        # With axis_name set the per-particle flow shards over the mesh
+        # (it is embarrassingly parallel — each particle factors its own
+        # flow matrices); reductions psum and the resample all_gathers.
+        # See parallel/flow_sharded.py.
+        self.axis_name = axis_name
+
+    def _total_n(self, particles: jax.Array) -> int:
+        """Global particle count (local rows × mesh axis size)."""
+        n = particles.shape[0]
+        if self.axis_name is not None:
+            n = n * jax.lax.axis_size(self.axis_name)
+        return n
+
+    def _shard_key(self, key: jax.Array) -> jax.Array:
+        """Per-shard key so sharded noise draws are distinct streams."""
+        if self.axis_name is None:
+            return key
+        return jax.random.fold_in(key, jax.lax.axis_index(self.axis_name))
 
     def init_from_gaussian(self, key: jax.Array, mean0, cov0) -> FlowPFState:
         """Particles ~ N(mean0, cov0), uniform weights (reference :84)."""
@@ -196,7 +215,7 @@ class LEDHFlowPF:
         if process_noise_sampler is None:
             v = jnp.zeros((n, nx), state.particles.dtype)
         else:
-            v = process_noise_sampler(k_noise, n, nx)
+            v = process_noise_sampler(self._shard_key(k_noise), n, nx)
         eta0 = jax.vmap(lambda x, vi: self.g(x, u, vi))(state.particles, v)
 
         n_steps = max(1, int(self.cfg.n_lambda_steps))
@@ -259,6 +278,10 @@ class LEDHFlowPF:
             lam, dlam = inp
             eta, etabar, theta_log = carry
             cond0 = self._cond_first_particle(lam, eta[0], P)
+            if self.axis_name is not None:
+                # Replicate the representative-particle diagnostic across
+                # shards as the worst case over each shard's first particle.
+                cond0 = lax.pmax(cond0, self.axis_name)
             eta_new, etabar_new, logdets = flow_batched(
                 lam, dlam, eta, etabar, eta0, P, P_inv, z, I
             )
@@ -278,27 +301,40 @@ class LEDHFlowPF:
             + self.log_like_pdf(z, x_new)
             - self.log_trans_pdf(e0, x_old)
         )(xk, state.particles, eta0)
-        logw, _ = log_normalize(state.log_weights + theta_log + log_corr)
+        logw, _ = log_normalize(
+            state.log_weights + theta_log + log_corr, self.axis_name
+        )
 
         ts, _, _ = self.tracker.update(ts, z)
 
+        # Sharded: deterministic-per-key GLOBAL ancestry from an all_gather
+        # of the cloud, each shard keeping its slice (same scheme as
+        # ParticleFilter._maybe_resample; flow clouds are N ≤ 10⁴).
         trigger = jnp.asarray(False)
         if self.cfg.resample_ess_ratio > 0.0:
-            ess = ess_from_logw(logw)
-            trigger = ess < self.cfg.resample_ess_ratio * n
+            ess = ess_from_logw(logw, self.axis_name)
+            trigger = ess < self.cfg.resample_ess_ratio * self._total_n(xk)
 
             def do_res(op):
                 k, p, lw = op
+                if self.axis_name is not None:
+                    p_all = lax.all_gather(p, self.axis_name, axis=0, tiled=True)
+                    lw_all = lax.all_gather(lw, self.axis_name, axis=0, tiled=True)
+                    vals = systematic_resample_values(k, p_all, logw=lw_all)
+                    i = lax.axis_index(self.axis_name)
+                    p_new = lax.dynamic_slice_in_dim(vals, i * n, n, axis=0)
+                else:
+                    p_new = systematic_resample_values(k, p, logw=lw)
                 return (
-                    systematic_resample_values(k, p, logw=lw),
-                    uniform_logw(n, lw.dtype),
+                    p_new,
+                    uniform_logw(self._total_n(p), lw.dtype)[:n],
                 )
 
             xk, logw = lax.cond(
                 trigger, do_res, lambda op: (op[1], op[2]), (k_res, xk, logw)
             )
 
-        mean, cov = weighted_mean_cov(xk, logw)
+        mean, cov = weighted_mean_cov(xk, logw, self.axis_name)
         new_state = FlowPFState(
             particles=xk,
             weights=jnp.exp(logw),
@@ -333,7 +369,7 @@ class LEDHFlowPF:
             hist = {
                 "mean": st.mean,
                 "cov": st.cov,
-                "ess": ess_from_logw(st.log_weights),
+                "ess": ess_from_logw(st.log_weights, self.axis_name),
                 "resampled": st.diagnostics["resampled"],
                 "condition_numbers": st.diagnostics["condition_numbers"],
             }

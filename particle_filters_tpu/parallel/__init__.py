@@ -25,6 +25,10 @@ from particle_filters_tpu.parallel.fused_sharded import (
     make_sharded_fused_run,
     make_sharded_fused_step,
 )
+from particle_filters_tpu.parallel.flow_sharded import (
+    make_sharded_flow_run,
+    shard_flow_state,
+)
 
 __all__ = [
     "make_mesh",
@@ -37,4 +41,6 @@ __all__ = [
     "make_sharded_fused_init",
     "make_sharded_fused_run",
     "make_sharded_fused_step",
+    "make_sharded_flow_run",
+    "shard_flow_state",
 ]
