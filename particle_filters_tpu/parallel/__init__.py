@@ -4,7 +4,11 @@ The reference has no distributed backend at all (SURVEY.md §2.4); the
 TPU-native equivalent is SPMD over a mesh ``('batch', 'particles')``:
 per-particle propagate/weight are local, weight normalization / ESS /
 moments are ``psum`` over ICI, and resampling ancestry crosses shards via
-``all_gather`` (see ``ParticleFilter(axis_name=...)``).
+``all_gather`` or the memory-bounded neighbor exchange. Four filter
+families ride the mesh: the generic SIR (``sharded.py``), the flagship
+fused Pallas path (``fused_sharded.py``), the EDH/LEDH particle-flow
+filters (``flow_sharded.py``), and differentiable-PF training
+(``dpf_sharded.py``).
 """
 
 from particle_filters_tpu.parallel.mesh import make_mesh
