@@ -12,6 +12,7 @@ unrolled retry ladder instead of a data-dependent Python loop).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,8 +88,12 @@ def _trsm_right_lt_unrolled(b_mat: jax.Array, l: jax.Array) -> jax.Array:
 
 
 _CHOL_BLOCK = 16
-_CHOL_UNROLL_MIN = 32  # below this XLA's loop is cheap; above 128 the
-_CHOL_UNROLL_MAX = 128  # unrolled graph (and compile time) grows too far
+_CHOL_UNROLL_MIN = 32   # below this XLA's loop is cheap; above the cap the
+_CHOL_UNROLL_MAX = 160  # unrolled graph (and compile time) grows too far.
+# The cap was 128 through round 4, which silently excluded the skew-t
+# sensor network's d=144 (reference sn_skew notebook) — every Cholesky in
+# its UKF tracker and LEDH per-particle flow fell back to XLA's serial
+# While lowering. 160 covers it; compile time at 144 stays in seconds.
 
 
 def _chol_blocked_unrolled(a: jax.Array) -> jax.Array:
@@ -117,6 +122,100 @@ def _chol_blocked_unrolled(a: jax.Array) -> jax.Array:
                 -jnp.einsum("...mj,...nj->...mn", Xp, Xp, precision=_HI)
             )
     return L
+
+
+def chol_nojitter(a: jax.Array) -> jax.Array:
+    """Single-shot Cholesky of (..., n, n) SPD matrices, fast-path aware.
+
+    For 32 ≤ n ≤ 160 this is the unrolled blocked factorization (static
+    shapes, fused VPU columns + MXU Schur updates); outside that range it
+    defers to ``jnp.linalg.cholesky``. Use when SPD-ness is guaranteed by
+    construction and the jitter ladder of ``chol_with_jitter`` would be
+    waste — e.g. the LEDH flow's K = P⁻¹/λ + HᵀR⁻¹H (caller adds its own
+    fixed jitter). Failure contract matches ``jnp.linalg.cholesky``:
+    non-SPD input yields NaNs in the factor.
+    """
+    n = a.shape[-1]
+    if _CHOL_UNROLL_MIN <= n <= _CHOL_UNROLL_MAX:
+        return _chol_blocked_unrolled(a)
+    return jnp.linalg.cholesky(a)
+
+
+def _trsm_left_lower_base(l: jax.Array, b_mat: jax.Array) -> jax.Array:
+    """Solve L X = B for one small diagonal block (L (..., b, b) lower,
+    B (..., b, m)) by unrolled forward substitution over the b rows."""
+    b = l.shape[-1]
+    rows = []
+    for i in range(b):
+        s = b_mat[..., i, :]
+        if i:
+            Xi = jnp.stack(rows, axis=-2)  # (..., i, m)
+            s = s - jnp.einsum(
+                "...j,...jm->...m", l[..., i, :i], Xi, precision=_HI
+            )
+        rows.append(s / l[..., i, i][..., None])
+    return jnp.stack(rows, axis=-2)
+
+
+def _trsm_left_lower_blocked(l: jax.Array, b_mat: jax.Array) -> jax.Array:
+    """Solve L X = B (L (..., n, n) lower-triangular, B (..., n, m)) with
+    fully static shapes: unrolled 16-row diagonal solves + one MXU matmul
+    per block row for the trailing update. Same design rationale as
+    ``_chol_blocked_unrolled`` — XLA's ``triangular_solve`` lowers to a
+    serial While loop on TPU whose per-iteration overhead dwarfs the work
+    for n ≲ 200."""
+    n = l.shape[-1]
+    rows = []
+    for k in range(0, n, _CHOL_BLOCK):
+        kb = min(_CHOL_BLOCK, n - k)
+        s = b_mat[..., k : k + kb, :]
+        if k:
+            Xp = jnp.concatenate(rows, axis=-2)  # (..., k, m)
+            s = s - jnp.einsum(
+                "...ij,...jm->...im", l[..., k : k + kb, :k], Xp,
+                precision=_HI,
+            )
+        rows.append(
+            _trsm_left_lower_base(l[..., k : k + kb, k : k + kb], s)
+        )
+    return jnp.concatenate(rows, axis=-2)
+
+
+def tri_solve_lower(l: jax.Array, b_mat: jax.Array) -> jax.Array:
+    """Solve L X = B with L lower-triangular; B is (..., n, m) or (..., n).
+
+    Uses the unrolled blocked substitution for 32 ≤ n ≤ 160 (the
+    fast-on-TPU regime), ``jax.scipy`` otherwise. Batched over leading
+    axes either way.
+    """
+    n = l.shape[-1]
+    vec = b_mat.ndim == l.ndim - 1
+    if vec:
+        b_mat = b_mat[..., None]
+    if _CHOL_UNROLL_MIN <= n <= _CHOL_UNROLL_MAX:
+        x = _trsm_left_lower_blocked(l, b_mat)
+    else:
+        x = jax.scipy.linalg.solve_triangular(l, b_mat, lower=True)
+    return x[..., 0] if vec else x
+
+
+def tri_solve_lower_t(l: jax.Array, b_mat: jax.Array) -> jax.Array:
+    """Solve Lᵀ X = B given the LOWER factor L (backward substitution).
+
+    Implemented by index reversal: Lᵀ is upper-triangular, and flipping
+    both matrix axes of an upper-triangular matrix yields a
+    lower-triangular one, so Lᵀ X = B ⟺ flip(Lᵀ)·flip(X) = flip(B) rowwise
+    — one ``tri_solve_lower`` on reversed views (the flips are layout ops
+    XLA folds into the adjacent reads).
+    """
+    vec = b_mat.ndim == l.ndim - 1
+    if vec:
+        b_mat = b_mat[..., None]
+    lt_flipped = jnp.flip(jnp.swapaxes(l, -1, -2), axis=(-2, -1))
+    x = jnp.flip(
+        tri_solve_lower(lt_flipped, jnp.flip(b_mat, axis=-2)), axis=-2
+    )
+    return x[..., 0] if vec else x
 
 
 def chol_with_jitter(
@@ -163,10 +262,10 @@ def chol_solve(chol_l: jax.Array, b: jax.Array) -> jax.Array:
     """Solve A x = b given lower Cholesky factor L (A = L Lᵀ).
 
     Two triangular solves — the gain computation pattern of the reference KF
-    (``models/kalman_filter.py:57-77``).
+    (``models/kalman_filter.py:57-77``). Routed through the unrolled blocked
+    substitution in the 32–160 dim window (see ``tri_solve_lower``).
     """
-    y = jax.scipy.linalg.solve_triangular(chol_l, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(chol_l.T, y, lower=False)
+    return tri_solve_lower_t(chol_l, tri_solve_lower(chol_l, b))
 
 
 def solve_psd(a: jax.Array, b: jax.Array, jitter: float = 0.0) -> jax.Array:
@@ -191,8 +290,8 @@ def mvn_logpdf_chol(x: jax.Array, mean: jax.Array, chol_l: jax.Array) -> jax.Arr
     """
     d = x.shape[-1]
     diff = x - mean
-    sol = jax.scipy.linalg.solve_triangular(
-        chol_l, jnp.swapaxes(jnp.atleast_2d(diff), -1, -2), lower=True
+    sol = tri_solve_lower(
+        chol_l, jnp.swapaxes(jnp.atleast_2d(diff), -1, -2)
     )
     maha = jnp.sum(sol * sol, axis=-2)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(chol_l, axis1=-2, axis2=-1))))
@@ -216,7 +315,60 @@ def cond_spd(a: jax.Array) -> jax.Array:
     """Condition number of an SPD matrix via eigvalsh (diagnostic only).
 
     Mirrors the reference's flow-stability diagnostics
-    (``models/EDH_particle_filter.py:239-243``).
+    (``models/EDH_particle_filter.py:239-243``). Exact but EXPENSIVE on
+    TPU: eigh lowers to a serial QR iteration (67 ms per (100, 144, 144)
+    batch, ``benchmarks/profile_d144_linalg.py``). The flow filters
+    default to ``cond_spd_power`` and keep this as the opt-in exact mode.
     """
     ev = jnp.linalg.eigvalsh(symmetrize(a))
     return jnp.abs(ev[-1]) / jnp.maximum(jnp.abs(ev[0]), 1e-38)
+
+
+def cond_spd_power(
+    a: jax.Array, chol_l: Optional[jax.Array] = None, iters: int = 24
+) -> jax.Array:
+    """Fast cond₂(a) estimate for SPD ``a`` (..., n, n): power iteration
+    for λmax and Cholesky inverse iteration for λmin.
+
+    2·iters matvecs (d² VPU flops each) replace the serial QR sweep of
+    ``eigvalsh`` — the EDH/LEDH flows evaluate their cond(S) diagnostic
+    once per λ-step, where the exact eigendecomposition cost more than
+    the flow itself at d = 144 (see ``cond_spd``). Rayleigh quotients
+    converge as (λ₂/λ₁)^{2k}, so 24 iterations give the leading digits
+    unless the extreme eigenvalues are nearly tied (a geomspace spectrum
+    over 6 decades at d=144 — λ₂/λ₁ = 0.91, the dense-spectrum worst
+    case — still reads within 2%; see the unit test) — in which case the
+    estimate errs LOW on λmax and HIGH on λmin by at most that ratio,
+    i.e. cond is slightly underestimated but its order of magnitude (the
+    thing the blow-up diagnostic exists to track) is preserved. Pass
+    ``chol_l`` when a Cholesky factor of ``a`` is already in hand;
+    otherwise one is computed with a tiny fixed jitter.
+    """
+    a = symmetrize(a)
+    n = a.shape[-1]
+    if chol_l is None:
+        eye = jnp.eye(n, dtype=a.dtype)
+        tr = jnp.trace(a, axis1=-2, axis2=-1)[..., None, None]
+        chol_l = chol_nojitter(a + (1e-10 / n) * tr * eye)
+    # Deterministic non-degenerate start: the diagonal plus a ramp (never
+    # orthogonal to the leading eigvec of an SPD matrix in practice).
+    v = jnp.diagonal(a, axis1=-2, axis2=-1) + jnp.arange(
+        1, n + 1, dtype=a.dtype
+    )
+    w = v
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", a, v, precision=_HI)
+        v = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+        )
+        w = tri_solve_lower_t(chol_l, tri_solve_lower(chol_l, w))
+        w = w / jnp.maximum(
+            jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-30
+        )
+    av = jnp.einsum("...ij,...j->...i", a, v, precision=_HI)
+    lam_max = jnp.einsum("...i,...i->...", v, av)
+    aw = jnp.einsum("...ij,...j->...i", a, w, precision=_HI)
+    lam_min = jnp.einsum("...i,...i->...", w, aw)
+    return jnp.maximum(
+        jnp.abs(lam_max) / jnp.maximum(jnp.abs(lam_min), 1e-38), 1.0
+    )

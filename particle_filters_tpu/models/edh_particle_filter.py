@@ -31,7 +31,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.linalg import (
+    chol_solve,
+    chol_with_jitter,
+    cond_spd,
+    cond_spd_power,
+    symmetrize,
+)
 from particle_filters_tpu.core.linalg import with_f32_matmuls
 from particle_filters_tpu.core.structs import pytree_dataclass, static_field
 from particle_filters_tpu.core.weights import (
@@ -52,6 +58,12 @@ class EDHConfig:
     n_lambda_steps: int = static_field(default=8)
     resample_ess_ratio: float = static_field(default=0.5)
     flow_integrator: str = static_field(default="rk4")  # "rk4" | "euler"
+    # cond(S) diagnostic estimator: "power" (default — power/inverse
+    # iteration off the already-computed Cholesky factor; eigvalsh lowers
+    # to a serial QR sweep on TPU that cost more than the flow itself at
+    # d=144, benchmarks/profile_d144_linalg.py) | "eigh" (exact, the
+    # reference's np.linalg.cond semantics :239-243).
+    cond_mode: str = static_field(default="power")
 
 
 @pytree_dataclass
@@ -156,14 +168,18 @@ class EDHFlowPF:
         e = self.h(etabar) - H @ etabar
         S = lam * (H @ P @ H.T) + self.R
         LS = chol_with_jitter(S, initial=1e-8)
-        S_inv_H = jax.scipy.linalg.cho_solve((LS, True), H)
+        S_inv_H = chol_solve(LS, H)
         A = -0.5 * P @ H.T @ S_inv_H
-        R_inv_innov = jax.scipy.linalg.cho_solve((self.LR, True), z - e)
+        R_inv_innov = chol_solve(self.LR, z - e)
         b = (I + 2.0 * lam * A) @ ((I + lam * A) @ (P @ H.T @ R_inv_innov) + A @ etabar)
-        # cond(S) diagnostic via the Cholesky diagonal (cheap proxy for the
-        # reference's np.linalg.cond :239-243; exact for diagonal-dominant S).
-        ev = jnp.linalg.eigvalsh(symmetrize(S))
-        cond = jnp.abs(ev[-1]) / jnp.maximum(jnp.abs(ev[0]), 1e-30)
+        # cond(S) diagnostic (reference's per-λ-step np.linalg.cond
+        # :239-243). Default: power/inverse iteration reusing LS —
+        # eigvalsh is a serial QR sweep on TPU (67 ms per (100, 144, 144)
+        # batch) that dominated the whole EDH benchmark at d=144.
+        if self.cfg.cond_mode == "eigh":
+            cond = cond_spd(S)
+        else:
+            cond = cond_spd_power(symmetrize(S), chol_l=LS)
         return A, b, cond
 
     @with_f32_matmuls

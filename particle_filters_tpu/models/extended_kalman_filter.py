@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.linalg import chol_solve, chol_with_jitter, symmetrize
 from particle_filters_tpu.core.linalg import with_f32_matmuls
 from particle_filters_tpu.core.structs import pytree_dataclass
 
@@ -124,7 +124,7 @@ class ExtendedKalmanFilter:
         if self.jitter > 0.0:
             S = S + self.jitter * jnp.eye(self.nz, dtype=S.dtype)
         L = chol_with_jitter(S)
-        K = jax.scipy.linalg.cho_solve((L, True), (pred.cov @ H.T).T).T
+        K = chol_solve(L, (pred.cov @ H.T).T).T
 
         x_post = pred.mean + K @ y
         I = jnp.eye(self.nx, dtype=pred.cov.dtype)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from particle_filters_tpu.core.linalg import chol_with_jitter, with_f32_matmuls, _LOG_2PI
+from particle_filters_tpu.core.linalg import chol_solve, chol_with_jitter, with_f32_matmuls, _LOG_2PI
 from particle_filters_tpu.core.structs import pytree_dataclass
 
 
@@ -123,7 +123,7 @@ def kalman_filter_general(
 
         # K = (P⁻ Hᵀ) S⁻¹ via two triangular solves
         PHt = P_minus @ H_k.T
-        K_k = jax.scipy.linalg.cho_solve((L, True), PHt.T).T
+        K_k = chol_solve(L, PHt.T).T
 
         m_plus = m_minus + K_k @ nu_k
         if use_joseph:
@@ -133,7 +133,7 @@ def kalman_filter_general(
             P_plus = P_minus - K_k @ (H_k @ P_minus)
 
         # Exact Gaussian log-likelihood increment
-        alpha = jax.scipy.linalg.cho_solve((L, True), nu_k)
+        alpha = chol_solve(L, nu_k)
         quad = nu_k @ alpha
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(L)))
         loglik = loglik + (-0.5) * (quad + logdet + ny * _LOG_2PI)

@@ -25,8 +25,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
-from particle_filters_tpu.core.linalg import with_f32_matmuls
+from particle_filters_tpu.core.linalg import (
+    chol_nojitter,
+    chol_solve,
+    chol_with_jitter,
+    cond_spd,
+    cond_spd_power,
+    symmetrize,
+    tri_solve_lower,
+    with_f32_matmuls,
+)
 from particle_filters_tpu.core.structs import pytree_dataclass, static_field
 from particle_filters_tpu.core.weights import (
     ess_from_logw,
@@ -46,6 +54,8 @@ class LEDHConfig:
     n_particles: int = static_field(default=512)
     n_lambda_steps: int = static_field(default=8)
     resample_ess_ratio: float = static_field(default=0.0)
+    # "power" (fast cond(S⁰) estimate, see EDHConfig.cond_mode) | "eigh"
+    cond_mode: str = static_field(default="power")
 
 
 class LEDHFlowPF:
@@ -152,11 +162,16 @@ class LEDHFlowPF:
         # Single-shot Cholesky: K ⪰ P⁻¹/λ is SPD by construction (P⁻¹ comes
         # from the jittered factorization in step()), so the 7-attempt
         # chol_with_jitter ladder is pure waste here — at MAT scale the two
-        # ladders were ~half the whole filter's runtime.
+        # ladders were ~half the whole filter's runtime. chol_nojitter's
+        # unrolled blocked form (vs jnp.linalg.cholesky's serial While
+        # lowering) is what makes the d=144 skew-t LEDH viable on TPU.
         jit_eye = 1e-8 * I
-        LK = jnp.linalg.cholesky(K + jit_eye)
-        KinvW = jax.scipy.linalg.cho_solve((LK, True), W)
-        G = symmetrize(W - W @ KinvW)  # HᵀS⁻¹H
+        LK = chol_nojitter(K + jit_eye)
+        # G = W − W K⁻¹ W needs only ONE forward substitution: with
+        # Y = LK⁻¹ W, symmetry gives W K⁻¹ W = Yᵀ Y (the back-substitution
+        # half of a cho_solve would be redundant work).
+        Y = tri_solve_lower(LK, W)
+        G = symmetrize(W - Y.T @ Y)  # HᵀS⁻¹H
         Ai = -0.5 * P @ G
         Rin_innov = self.R_inv @ (z - ei)
         bi = (I + 2.0 * lam * Ai) @ (
@@ -166,7 +181,7 @@ class LEDHFlowPF:
         eta_new = eta_i + dlam * (Ai @ eta_i + bi)
         # θ accumulation: log|det(I + εAⁱ)| from the SPD determinant ratio.
         c = dlam / (2.0 * lam)
-        L_num = jnp.linalg.cholesky(P_inv / lam + (1.0 - c) * W + jit_eye)
+        L_num = chol_nojitter(P_inv / lam + (1.0 - c) * W + jit_eye)
         logdet = 2.0 * (
             jnp.sum(jnp.log(jnp.diagonal(L_num)))
             - jnp.sum(jnp.log(jnp.diagonal(LK)))
@@ -180,8 +195,9 @@ class LEDHFlowPF:
         dominate the whole filter."""
         H0 = self.Jh(eta_0)
         S0 = lam * (H0 @ P @ H0.T) + self.R
-        ev = jnp.linalg.eigvalsh(symmetrize(S0))
-        return jnp.abs(ev[-1]) / jnp.maximum(jnp.abs(ev[0]), 1e-30)
+        if self.cfg.cond_mode == "eigh":
+            return cond_spd(S0)
+        return cond_spd_power(symmetrize(S0))
 
     @with_f32_matmuls
     def step(
@@ -267,7 +283,7 @@ class LEDHFlowPF:
             dlams = jnp.diff(beta)
 
         Lp = chol_with_jitter(P, initial=1e-9)
-        P_inv = jax.scipy.linalg.cho_solve((Lp, True), I)
+        P_inv = chol_solve(Lp, I)
 
         flow_batched = jax.vmap(
             self._per_particle_flow,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from particle_filters_tpu.core.linalg import chol_with_jitter, symmetrize
+from particle_filters_tpu.core.linalg import chol_solve, chol_with_jitter, symmetrize
 from particle_filters_tpu.core.linalg import with_f32_matmuls
 from particle_filters_tpu.core.structs import pytree_dataclass
 
@@ -143,7 +143,7 @@ class UnscentedKalmanFilter:
         Pxz = jnp.einsum("i,ij,ik->jk", self.Wc, DX, DZ)
 
         L = chol_with_jitter(S, jitter=self.jitter)
-        K = jax.scipy.linalg.cho_solve((L, True), Pxz.T).T
+        K = chol_solve(L, Pxz.T).T
 
         x_post = pred.mean + K @ (z - z_pred)
         P_post = symmetrize(pred.cov - K @ S @ K.T)

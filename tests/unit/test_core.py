@@ -137,3 +137,118 @@ class TestLinalg:
         np.testing.assert_allclose(
             np.asarray(batched), np.asarray(single), atol=1e-5
         )
+
+
+class TestUnrolledBlockedSolvers:
+    """The TPU fast path for 32 ≤ n ≤ 160: unrolled blocked Cholesky and
+    triangular substitution (``core/linalg.py``). XLA's own cholesky /
+    triangular_solve lower to serial While loops on TPU; these static
+    unrolled forms replace them in the filters (UKF/EKF/KF gains, the
+    LEDH per-particle flow). n = 144 is the skew-t sensor-network dim the
+    round-4 cap of 128 silently excluded."""
+
+    # spans: below the unroll window (plain jnp path), the window edges,
+    # a non-multiple-of-block size inside it, and above it (fallback).
+    NS = [5, 32, 47, 64, 144, 160, 200]
+
+    @pytest.mark.parametrize("n", NS)
+    def test_chol_nojitter_matches_numpy(self, n):
+        from particle_filters_tpu.core.linalg import chol_nojitter
+
+        rng = np.random.default_rng(n)
+        a = rng.standard_normal((n, n))
+        spd = (a @ a.T + n * np.eye(n)).astype(np.float32)
+        L = np.asarray(chol_nojitter(jnp.asarray(spd)))
+        Lref = np.linalg.cholesky(spd.astype(np.float64))
+        np.testing.assert_allclose(L, Lref, rtol=2e-4, atol=2e-4)
+        # strictly lower-triangular output
+        assert np.allclose(L, np.tril(L))
+
+    @pytest.mark.parametrize("n", NS)
+    def test_tri_solve_lower_and_transpose(self, n):
+        from particle_filters_tpu.core.linalg import (
+            tri_solve_lower,
+            tri_solve_lower_t,
+        )
+
+        rng = np.random.default_rng(n + 1)
+        a = rng.standard_normal((n, n))
+        L = np.linalg.cholesky((a @ a.T + n * np.eye(n))).astype(np.float32)
+        B = rng.standard_normal((n, 3)).astype(np.float32)
+        X = np.asarray(tri_solve_lower(jnp.asarray(L), jnp.asarray(B)))
+        np.testing.assert_allclose(L @ X, B, rtol=1e-3, atol=1e-3)
+        Xt = np.asarray(tri_solve_lower_t(jnp.asarray(L), jnp.asarray(B)))
+        np.testing.assert_allclose(L.T @ Xt, B, rtol=1e-3, atol=1e-3)
+        # vector rhs round-trips with the same shape
+        v = np.asarray(tri_solve_lower(jnp.asarray(L), jnp.asarray(B[:, 0])))
+        assert v.shape == (n,)
+        np.testing.assert_allclose(L @ v, B[:, 0], rtol=1e-3, atol=1e-3)
+
+    def test_chol_solve_batched_spd(self):
+        from particle_filters_tpu.core.linalg import chol_nojitter, chol_solve
+
+        rng = np.random.default_rng(3)
+        a = rng.standard_normal((4, 144, 144))
+        spd = (a @ np.swapaxes(a, -1, -2) + 144 * np.eye(144)).astype(
+            np.float32
+        )
+        B = rng.standard_normal((4, 144, 2)).astype(np.float32)
+        L = chol_nojitter(jnp.asarray(spd))
+        X = np.asarray(chol_solve(L, jnp.asarray(B)))
+        np.testing.assert_allclose(
+            np.einsum("bij,bjk->bik", spd, X), B, rtol=2e-3, atol=2e-3
+        )
+
+    def test_chol_nojitter_nan_on_indefinite(self):
+        from particle_filters_tpu.core.linalg import chol_nojitter
+
+        # failure contract matches jnp.linalg.cholesky: non-SPD -> NaNs
+        a = jnp.diag(jnp.array([1.0] * 143 + [-1.0], jnp.float32))
+        L = np.asarray(chol_nojitter(a))
+        assert np.isnan(L).any()
+
+
+class TestCondSpdPower:
+    """cond_spd_power — the flow filters' default cond(S) diagnostic
+    (power + Cholesky inverse iteration; the exact eigvalsh costs 67 ms
+    per (100,144,144) batch on TPU, benchmarks/profile_d144_linalg.py)."""
+
+    @pytest.mark.parametrize(
+        "n,spread", [(8, 10.0), (64, 1e2), (144, 1e3), (144, 1e6)]
+    )
+    def test_matches_exact_on_geomspace_spectra(self, n, spread):
+        from particle_filters_tpu.core.linalg import cond_spd, cond_spd_power
+
+        # geomspace eigenvalues = the dense-spectrum WORST case for power
+        # iteration (lambda2/lambda1 -> 1 as n grows); real innovation
+        # matrices have decisive gaps and read tighter than this bound.
+        rng = np.random.default_rng(n)
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        a = jnp.asarray((q * np.geomspace(1.0, spread, n)) @ q.T, jnp.float32)
+        exact = float(cond_spd(a))
+        est = float(cond_spd_power(a))
+        assert 0.9 * exact <= est <= 1.1 * exact
+
+    def test_batched_and_reuses_factor(self):
+        from particle_filters_tpu.core.linalg import (
+            chol_with_jitter,
+            cond_spd,
+            cond_spd_power,
+        )
+
+        rng = np.random.default_rng(5)
+        a = rng.standard_normal((4, 40, 40))
+        spd = jnp.asarray(
+            a @ np.swapaxes(a, -1, -2) + 0.1 * np.eye(40), jnp.float32
+        )
+        exact = np.array([float(cond_spd(x)) for x in spd])
+        est = np.asarray(cond_spd_power(spd))
+        np.testing.assert_allclose(est, exact, rtol=0.1)
+        est2 = np.asarray(cond_spd_power(spd, chol_l=chol_with_jitter(spd)))
+        np.testing.assert_allclose(est2, exact, rtol=0.1)
+
+    def test_at_least_one_and_identity(self):
+        from particle_filters_tpu.core.linalg import cond_spd_power
+
+        c = float(cond_spd_power(jnp.eye(16, dtype=jnp.float32)))
+        assert 1.0 <= c <= 1.0 + 1e-4

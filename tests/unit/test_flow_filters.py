@@ -453,3 +453,37 @@ class TestFlowArchetypes:
             )
             means[integ] = np.asarray(st2.mean)
         np.testing.assert_allclose(means["euler"], means["rk4"], atol=0.08)
+
+
+class TestCondModes:
+    """cond_mode="power" (default estimator) vs "eigh" (the reference's
+    exact np.linalg.cond semantics) must agree on the recorded cond(S)
+    trace; the particles themselves are cond-mode independent."""
+
+    @pytest.mark.parametrize("cls,cfg_cls", [
+        (EDHFlowPF, EDHConfig), (LEDHFlowPF, LEDHConfig),
+    ])
+    def test_power_matches_eigh(self, key, lgssm_data, linear_flow, cls, cfg_cls):
+        g, h, jh, lt, ll, R, tracker, ns = linear_flow
+        outs = {}
+        for mode in ("power", "eigh"):
+            filt = cls(
+                tracker, g, h, jh, lt, ll, R,
+                cfg_cls(n_particles=64, n_lambda_steps=4, cond_mode=mode),
+            )
+            st = filt.init_from_gaussian(key, jnp.zeros(2), jnp.eye(2))
+            ts = tracker.init(jnp.zeros(2), jnp.eye(2))
+            st2, _ = filt.step(
+                key, st, ts, lgssm_data.Y[0], process_noise_sampler=ns
+            )
+            outs[mode] = st2
+        c_pow = np.asarray(outs["power"].diagnostics["condition_numbers"])
+        c_eig = np.asarray(outs["eigh"].diagnostics["condition_numbers"])
+        assert np.all(np.isfinite(c_pow)) and np.all(c_pow >= 1.0)
+        np.testing.assert_allclose(c_pow, c_eig, rtol=0.05)
+        # the diagnostic does not feed back into the flow
+        np.testing.assert_allclose(
+            np.asarray(outs["power"].particles),
+            np.asarray(outs["eigh"].particles),
+            atol=1e-6,
+        )
