@@ -96,6 +96,7 @@ _CHOL_UNROLL_MAX = 160  # unrolled graph (and compile time) grows too far.
 # While lowering. 160 covers it; compile time at 144 stays in seconds.
 
 
+@functools.partial(jax.jit, inline=True)
 def _chol_blocked_unrolled(a: jax.Array) -> jax.Array:
     """Right-looking blocked Cholesky with fully static shapes.
 
@@ -106,6 +107,12 @@ def _chol_blocked_unrolled(a: jax.Array) -> jax.Array:
     (100, 64, 64) batch on TPU regardless of batch size; this unrolled
     form is pure fused vector/matrix code and runs an order of magnitude
     faster (``benchmarks/profile_ukf.py``).
+
+    jit(inline=True): the unrolled body is ~10³ traced ops; without the
+    jit cache every CALL SITE re-traces it (146 s to lower one d=144 EKF
+    on this 1-core host). The inline jit caches the trace by shape and
+    splices the jaxpr into the caller — no call-primitive overhead, no
+    separate XLA compilation unit.
     """
     n = a.shape[-1]
     L = jnp.zeros_like(a)
@@ -157,6 +164,7 @@ def _trsm_left_lower_base(l: jax.Array, b_mat: jax.Array) -> jax.Array:
     return jnp.stack(rows, axis=-2)
 
 
+@functools.partial(jax.jit, inline=True)
 def _trsm_left_lower_blocked(l: jax.Array, b_mat: jax.Array) -> jax.Array:
     """Solve L X = B (L (..., n, n) lower-triangular, B (..., n, m)) with
     fully static shapes: unrolled 16-row diagonal solves + one MXU matmul
