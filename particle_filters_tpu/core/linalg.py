@@ -48,42 +48,50 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _chol_base_unrolled(a: jax.Array) -> jax.Array:
-    """Unrolled column-Crout Cholesky of a small (..., b, b) block.
+    """Unrolled right-looking Cholesky of a small (..., b, b) block.
 
     Every step is a statically-shaped vector op (no While loop, no
     dynamic slices), so XLA fuses the whole factorization into straight
-    VPU code — the property that makes the batched TPU path fast. NaNs
-    from a negative pivot propagate into all later columns, preserving
-    the "failure == non-finite factor" contract of ``jnp.linalg.cholesky``.
+    VPU code — the property that makes the batched TPU path fast. The
+    update per column is a broadcast rank-1 FMA, NOT an einsum over the
+    already-factored columns: a left-looking form stacks (..., j, ·)
+    temps whose tiny leading dim XLA lays out on the 128-wide lane axis
+    (128× padding — 352 MB per temp at the skew-t LEDH's (25, 200)
+    batch, an instant OOM). NaNs from a negative pivot propagate into
+    all later columns via the rank-1 updates, preserving the
+    "failure == non-finite factor" contract of ``jnp.linalg.cholesky``.
     """
     b = a.shape[-1]
     iota = jnp.arange(b)
+    S = a
     cols = []
     for j in range(b):
-        s = a[..., :, j]
-        if j:
-            Lj = jnp.stack(cols, axis=-1)  # (..., b, j)
-            s = s - jnp.einsum(
-                "...bj,...j->...b", Lj, Lj[..., j, :], precision=_HI
-            )
-        d = jnp.sqrt(s[..., j])
-        cols.append(jnp.where(iota >= j, s / d[..., None], 0.0))
+        d = jnp.sqrt(S[..., j, j])
+        col = jnp.where(iota >= j, S[..., :, j] / d[..., None], 0.0)
+        cols.append(col)
+        if j + 1 < b:
+            S = S - col[..., :, None] * col[..., None, :]
     return jnp.stack(cols, axis=-1)
 
 
 def _trsm_right_lt_unrolled(b_mat: jax.Array, l: jax.Array) -> jax.Array:
     """Solve X Lᵀ = B for X (L lower-triangular (..., b, b), B (..., m, b))
-    by unrolled forward substitution over the b columns."""
+    by unrolled right-looking substitution over the b columns: once column
+    j of X is known, its contribution L[k, j]·X_j is subtracted from every
+    later column k of B in one broadcast rank-1 FMA (same layout rationale
+    as ``_chol_base_unrolled`` — no tiny-dim einsum operands)."""
     b = l.shape[-1]
+    iota = jnp.arange(b)
+    s = b_mat
     cols = []
     for j in range(b):
-        s = b_mat[..., :, j]
-        if j:
-            Xj = jnp.stack(cols, axis=-1)  # (..., m, j)
-            s = s - jnp.einsum(
-                "...mj,...j->...m", Xj, l[..., j, :j], precision=_HI
-            )
-        cols.append(s / l[..., j, j][..., None])
+        col = s[..., :, j] / l[..., j, j][..., None]  # (..., m)
+        cols.append(col)
+        if j + 1 < b:
+            # L's column j below the diagonal, zeroed at/above it so the
+            # update touches only the still-unsolved columns of B.
+            lcol = jnp.where(iota > j, l[..., :, j], 0.0)  # (..., b)
+            s = s - col[..., :, None] * lcol[..., None, :]
     return jnp.stack(cols, axis=-1)
 
 
@@ -113,22 +121,33 @@ def _chol_blocked_unrolled(a: jax.Array) -> jax.Array:
     on this 1-core host). The inline jit caches the trace by shape and
     splices the jaxpr into the caller — no call-primitive overhead, no
     separate XLA compilation unit.
+
+    The trailing matrix SHRINKS each panel (static slices of a smaller
+    array per iteration) instead of updating a full-size copy of S in
+    place: the in-place form writes n/16 full (..., n, n) copies per
+    factorization — 9 × 415 MB of pure HBM traffic per call at the
+    skew-t LEDH's (25, 200, 144, 144) batch — where the shrinking form's
+    total update traffic telescopes to ~n³/3 elements.
     """
     n = a.shape[-1]
-    L = jnp.zeros_like(a)
     S = a
+    col_blocks = []
     for k in range(0, n, _CHOL_BLOCK):
         kb = min(_CHOL_BLOCK, n - k)
-        Lkk = _chol_base_unrolled(S[..., k : k + kb, k : k + kb])
-        L = L.at[..., k : k + kb, k : k + kb].set(Lkk)
+        Lkk = _chol_base_unrolled(S[..., :kb, :kb])
         if k + kb < n:
-            Bp = S[..., k + kb :, k : k + kb]
-            Xp = _trsm_right_lt_unrolled(Bp, Lkk)
-            L = L.at[..., k + kb :, k : k + kb].set(Xp)
-            S = S.at[..., k + kb :, k + kb :].add(
-                -jnp.einsum("...mj,...nj->...mn", Xp, Xp, precision=_HI)
+            Xp = _trsm_right_lt_unrolled(S[..., kb:, :kb], Lkk)
+            S = S[..., kb:, kb:] - jnp.einsum(
+                "...mj,...nj->...mn", Xp, Xp, precision=_HI
             )
-    return L
+            body = jnp.concatenate([Lkk, Xp], axis=-2)  # (..., n−k, kb)
+        else:
+            body = Lkk
+        if k:
+            zeros = jnp.zeros(a.shape[:-2] + (k, kb), a.dtype)
+            body = jnp.concatenate([zeros, body], axis=-2)
+        col_blocks.append(body)  # (..., n, kb)
+    return jnp.concatenate(col_blocks, axis=-1)
 
 
 def chol_nojitter(a: jax.Array) -> jax.Array:
@@ -150,17 +169,21 @@ def chol_nojitter(a: jax.Array) -> jax.Array:
 
 def _trsm_left_lower_base(l: jax.Array, b_mat: jax.Array) -> jax.Array:
     """Solve L X = B for one small diagonal block (L (..., b, b) lower,
-    B (..., b, m)) by unrolled forward substitution over the b rows."""
+    B (..., b, m)) by unrolled right-looking substitution over the b rows:
+    each solved row's contribution L[k, i]·X_i is subtracted from the
+    still-unsolved rows k > i in one broadcast rank-1 FMA (no tiny-dim
+    einsum operands — see ``_chol_base_unrolled`` for the layout
+    rationale)."""
     b = l.shape[-1]
+    iota = jnp.arange(b)
+    s = b_mat
     rows = []
     for i in range(b):
-        s = b_mat[..., i, :]
-        if i:
-            Xi = jnp.stack(rows, axis=-2)  # (..., i, m)
-            s = s - jnp.einsum(
-                "...j,...jm->...m", l[..., i, :i], Xi, precision=_HI
-            )
-        rows.append(s / l[..., i, i][..., None])
+        row = s[..., i, :] / l[..., i, i][..., None]  # (..., m)
+        rows.append(row)
+        if i + 1 < b:
+            lcol = jnp.where(iota > i, l[..., :, i], 0.0)  # (..., b)
+            s = s - lcol[..., :, None] * row[..., None, :]
     return jnp.stack(rows, axis=-2)
 
 
