@@ -62,37 +62,57 @@ def _chol_base_unrolled(a: jax.Array) -> jax.Array:
     "failure == non-finite factor" contract of ``jnp.linalg.cholesky``.
     """
     b = a.shape[-1]
-    iota = jnp.arange(b)
-    S = a
+    # Batch-last layout: the rank-1 recursion's temps are (b, b, batch…)
+    # and (b, batch…), putting the LARGE batch axis on the 128-wide lane
+    # dim. Batch-first (b on lanes) pads 16 → 128 on every one of the
+    # ~3·b ops — 8× the HBM traffic, measured 17.5 ms vs ~4 ms for the
+    # (5000, 144, 144) factorization (benchmarks/profile_d144_linalg.py).
+    # The two tiny-block transposes at the boundary are noise.
+    nb = a.ndim - 2
+    S = jnp.moveaxis(a, (-2, -1), (0, 1))  # (b, b, batch…)
+    iota = jnp.arange(b).reshape((b,) + (1,) * nb)
     cols = []
     for j in range(b):
-        d = jnp.sqrt(S[..., j, j])
-        col = jnp.where(iota >= j, S[..., :, j] / d[..., None], 0.0)
+        d = jnp.sqrt(S[j, j])  # (batch…)
+        col = jnp.where(iota >= j, S[:, j] / d, 0.0)  # (b, batch…)
         cols.append(col)
         if j + 1 < b:
-            S = S - col[..., :, None] * col[..., None, :]
-    return jnp.stack(cols, axis=-1)
+            S = S - col[:, None] * col[None, :]
+    L = jnp.stack(cols, axis=1)  # (b, b, batch…)
+    return jnp.moveaxis(L, (0, 1), (-2, -1))
 
 
-def _trsm_right_lt_unrolled(b_mat: jax.Array, l: jax.Array) -> jax.Array:
-    """Solve X Lᵀ = B for X (L lower-triangular (..., b, b), B (..., m, b))
-    by unrolled right-looking substitution over the b columns: once column
-    j of X is known, its contribution L[k, j]·X_j is subtracted from every
-    later column k of B in one broadcast rank-1 FMA (same layout rationale
-    as ``_chol_base_unrolled`` — no tiny-dim einsum operands)."""
+def _tri_inv_unrolled(l: jax.Array) -> jax.Array:
+    """Explicit inverse of a small lower-triangular (..., b, b) block by
+    unrolled forward substitution on the identity (rank-1 FMA per row —
+    same layout rationale as ``_chol_base_unrolled``). All temps are
+    (..., b, b), so the cost is independent of any RHS width; every solve
+    against the block afterwards is ONE batched matmul (MXU work). This is
+    the cuBLAS-style trsm design: substitution runs only on the b×b
+    diagonal blocks, GEMMs do everything else — the r5 interim form that
+    substituted directly on (..., b, m) RHS rewrote the full RHS panel b
+    times per block (431 ms per (5000, 144, 144) solve on TPU v5e;
+    ``benchmarks/profile_d144_linalg.py``). NaNs from a non-finite
+    diagonal propagate to all later rows, preserving the failure
+    contract. Row i of L⁻¹ keeps exact zeros past column i.
+    """
     b = l.shape[-1]
-    iota = jnp.arange(b)
-    s = b_mat
-    cols = []
-    for j in range(b):
-        col = s[..., :, j] / l[..., j, j][..., None]  # (..., m)
-        cols.append(col)
-        if j + 1 < b:
-            # L's column j below the diagonal, zeroed at/above it so the
-            # update touches only the still-unsolved columns of B.
-            lcol = jnp.where(iota > j, l[..., :, j], 0.0)  # (..., b)
-            s = s - col[..., :, None] * lcol[..., None, :]
-    return jnp.stack(cols, axis=-1)
+    nb = l.ndim - 2
+    lt = jnp.moveaxis(l, (-2, -1), (0, 1))  # (b, b, batch…) — see
+    # _chol_base_unrolled for the batch-last layout rationale.
+    iota = jnp.arange(b).reshape((b,) + (1,) * nb)
+    s = jnp.broadcast_to(
+        jnp.eye(b, dtype=l.dtype).reshape((b, b) + (1,) * nb), lt.shape
+    )
+    rows = []
+    for i in range(b):
+        row = s[i] / lt[i, i]  # (b, batch…)
+        rows.append(row)
+        if i + 1 < b:
+            lcol = jnp.where(iota > i, lt[:, i], 0.0)  # (b, batch…)
+            s = s - lcol[:, None] * row[None, :]
+    inv = jnp.stack(rows, axis=0)  # (b, b, batch…)
+    return jnp.moveaxis(inv, (0, 1), (-2, -1))
 
 
 _CHOL_BLOCK = 16
@@ -136,7 +156,14 @@ def _chol_blocked_unrolled(a: jax.Array) -> jax.Array:
         kb = min(_CHOL_BLOCK, n - k)
         Lkk = _chol_base_unrolled(S[..., :kb, :kb])
         if k + kb < n:
-            Xp = _trsm_right_lt_unrolled(S[..., kb:, :kb], Lkk)
+            # Panel solve Xp Lkkᵀ = S_panel as ONE matmul against the
+            # explicit kb×kb inverse (substitution cost stays on kb×kb
+            # temps instead of rewriting the (..., n−k, kb) panel kb
+            # times — see _tri_inv_unrolled).
+            Linv = _tri_inv_unrolled(Lkk)
+            Xp = jnp.einsum(
+                "...mj,...kj->...mk", S[..., kb:, :kb], Linv, precision=_HI
+            )
             S = S[..., kb:, kb:] - jnp.einsum(
                 "...mj,...nj->...mn", Xp, Xp, precision=_HI
             )
@@ -167,49 +194,81 @@ def chol_nojitter(a: jax.Array) -> jax.Array:
     return jnp.linalg.cholesky(a)
 
 
-def _trsm_left_lower_base(l: jax.Array, b_mat: jax.Array) -> jax.Array:
-    """Solve L X = B for one small diagonal block (L (..., b, b) lower,
-    B (..., b, m)) by unrolled right-looking substitution over the b rows:
-    each solved row's contribution L[k, i]·X_i is subtracted from the
-    still-unsolved rows k > i in one broadcast rank-1 FMA (no tiny-dim
-    einsum operands — see ``_chol_base_unrolled`` for the layout
-    rationale)."""
-    b = l.shape[-1]
-    iota = jnp.arange(b)
-    s = b_mat
-    rows = []
-    for i in range(b):
-        row = s[..., i, :] / l[..., i, i][..., None]  # (..., m)
-        rows.append(row)
-        if i + 1 < b:
-            lcol = jnp.where(iota > i, l[..., :, i], 0.0)  # (..., b)
-            s = s - lcol[..., :, None] * row[..., None, :]
-    return jnp.stack(rows, axis=-2)
+def _diag_block_invs(l: jax.Array) -> list:
+    """Explicit inverses of the 16×16 diagonal blocks of a lower-triangular
+    (..., n, n) matrix, as a list of (..., kb, kb) arrays.
+
+    All full blocks invert in ONE ``_tri_inv_unrolled`` call over a
+    stacked block axis (one unrolled substitution pass regardless of n);
+    a ragged tail block inverts separately."""
+    n = l.shape[-1]
+    bs = _CHOL_BLOCK
+    nb = n // bs
+    invs = []
+    if nb:
+        blocks = jnp.stack(
+            [l[..., k * bs : (k + 1) * bs, k * bs : (k + 1) * bs]
+             for k in range(nb)],
+            axis=-3,
+        )  # (..., nb, bs, bs)
+        inv_stack = _tri_inv_unrolled(blocks)
+        invs = [inv_stack[..., i, :, :] for i in range(nb)]
+    if n % bs:
+        invs.append(_tri_inv_unrolled(l[..., nb * bs :, nb * bs :]))
+    return invs
 
 
 @functools.partial(jax.jit, inline=True)
 def _trsm_left_lower_blocked(l: jax.Array, b_mat: jax.Array) -> jax.Array:
     """Solve L X = B (L (..., n, n) lower-triangular, B (..., n, m)) with
-    fully static shapes: unrolled 16-row diagonal solves + one MXU matmul
-    per block row for the trailing update. Same design rationale as
-    ``_chol_blocked_unrolled`` — XLA's ``triangular_solve`` lowers to a
-    serial While loop on TPU whose per-iteration overhead dwarfs the work
-    for n ≲ 200."""
+    fully static shapes: batched explicit 16×16 diagonal-block inverses,
+    then one MXU matmul per block row (diagonal solve) plus one for the
+    right-looking trailing update on a SHRINKING remainder (temp traffic
+    telescopes to ~n²m/2 — no full-RHS rewrites, no per-iteration
+    concatenations). Same design rationale as ``_chol_blocked_unrolled``:
+    XLA's ``triangular_solve`` lowers to a serial While loop on TPU whose
+    per-iteration overhead dwarfs the work for n ≲ 200."""
     n = l.shape[-1]
+    invs = _diag_block_invs(l)
+    s = b_mat
     rows = []
-    for k in range(0, n, _CHOL_BLOCK):
+    for bi, k in enumerate(range(0, n, _CHOL_BLOCK)):
         kb = min(_CHOL_BLOCK, n - k)
-        s = b_mat[..., k : k + kb, :]
-        if k:
-            Xp = jnp.concatenate(rows, axis=-2)  # (..., k, m)
-            s = s - jnp.einsum(
-                "...ij,...jm->...im", l[..., k : k + kb, :k], Xp,
+        xk = jnp.einsum(
+            "...ij,...jm->...im", invs[bi], s[..., :kb, :], precision=_HI
+        )
+        rows.append(xk)
+        if k + kb < n:
+            s = s[..., kb:, :] - jnp.einsum(
+                "...ij,...jm->...im", l[..., k + kb :, k : k + kb], xk,
                 precision=_HI,
             )
-        rows.append(
-            _trsm_left_lower_base(l[..., k : k + kb, k : k + kb], s)
-        )
     return jnp.concatenate(rows, axis=-2)
+
+
+@functools.partial(jax.jit, inline=True)
+def _trsm_left_lower_t_blocked(l: jax.Array, b_mat: jax.Array) -> jax.Array:
+    """Solve Lᵀ X = B given the LOWER factor L (backward substitution),
+    blocked like ``_trsm_left_lower_blocked`` but walking block rows
+    bottom-up with transposed panels — no flipped copies of L or B."""
+    n = l.shape[-1]
+    invs = _diag_block_invs(l)
+    ks = list(range(0, n, _CHOL_BLOCK))
+    s = b_mat
+    rows_rev = []
+    for bi in reversed(range(len(ks))):
+        k = ks[bi]
+        kb = min(_CHOL_BLOCK, n - k)
+        xk = jnp.einsum(
+            "...ji,...jm->...im", invs[bi], s[..., k:, :], precision=_HI
+        )
+        rows_rev.append(xk)
+        if k:
+            s = s[..., :k, :] - jnp.einsum(
+                "...ji,...jm->...im", l[..., k : k + kb, :k], xk,
+                precision=_HI,
+            )
+    return jnp.concatenate(rows_rev[::-1], axis=-2)
 
 
 def tri_solve_lower(l: jax.Array, b_mat: jax.Array) -> jax.Array:
@@ -233,19 +292,20 @@ def tri_solve_lower(l: jax.Array, b_mat: jax.Array) -> jax.Array:
 def tri_solve_lower_t(l: jax.Array, b_mat: jax.Array) -> jax.Array:
     """Solve Lᵀ X = B given the LOWER factor L (backward substitution).
 
-    Implemented by index reversal: Lᵀ is upper-triangular, and flipping
-    both matrix axes of an upper-triangular matrix yields a
-    lower-triangular one, so Lᵀ X = B ⟺ flip(Lᵀ)·flip(X) = flip(B) rowwise
-    — one ``tri_solve_lower`` on reversed views (the flips are layout ops
-    XLA folds into the adjacent reads).
+    In the 32–160 window this is the blocked bottom-up substitution on
+    transposed panels (``_trsm_left_lower_t_blocked`` — no flipped array
+    copies); outside it, ``jax.scipy`` on Lᵀ.
     """
+    n = l.shape[-1]
     vec = b_mat.ndim == l.ndim - 1
     if vec:
         b_mat = b_mat[..., None]
-    lt_flipped = jnp.flip(jnp.swapaxes(l, -1, -2), axis=(-2, -1))
-    x = jnp.flip(
-        tri_solve_lower(lt_flipped, jnp.flip(b_mat, axis=-2)), axis=-2
-    )
+    if _CHOL_UNROLL_MIN <= n <= _CHOL_UNROLL_MAX:
+        x = _trsm_left_lower_t_blocked(l, b_mat)
+    else:
+        x = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(l, -1, -2), b_mat, lower=False
+        )
     return x[..., 0] if vec else x
 
 

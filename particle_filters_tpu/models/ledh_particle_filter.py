@@ -166,7 +166,17 @@ class LEDHFlowPF:
         # unrolled blocked form (vs jnp.linalg.cholesky's serial While
         # lowering) is what makes the d=144 skew-t LEDH viable on TPU.
         jit_eye = 1e-8 * I
-        LK = chol_nojitter(K + jit_eye)
+        # Both SPD factorizations of this λ-step in ONE batched call: the
+        # unrolled blocked Cholesky runs its small-block recursions with
+        # the batch on the TPU lane axis, so stacking K and the θ-ratio
+        # numerator doubles lane occupancy instead of paying the
+        # per-block fixed costs twice (under the particle vmap this is a
+        # (N, 2, nx, nx) batch).
+        c = dlam / (2.0 * lam)
+        Ls = chol_nojitter(
+            jnp.stack([K + jit_eye, P_inv / lam + (1.0 - c) * W + jit_eye])
+        )
+        LK, L_num = Ls[0], Ls[1]
         # G = W − W K⁻¹ W needs only ONE forward substitution: with
         # Y = LK⁻¹ W, symmetry gives W K⁻¹ W = Yᵀ Y (the back-substitution
         # half of a cho_solve would be redundant work).
@@ -180,8 +190,6 @@ class LEDHFlowPF:
         etabar_new = etabar_i + dlam * (Ai @ etabar_i + bi)
         eta_new = eta_i + dlam * (Ai @ eta_i + bi)
         # θ accumulation: log|det(I + εAⁱ)| from the SPD determinant ratio.
-        c = dlam / (2.0 * lam)
-        L_num = chol_nojitter(P_inv / lam + (1.0 - c) * W + jit_eye)
         logdet = 2.0 * (
             jnp.sum(jnp.log(jnp.diagonal(L_num)))
             - jnp.sum(jnp.log(jnp.diagonal(LK)))
