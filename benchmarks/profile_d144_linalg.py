@@ -72,7 +72,21 @@ slope("unrolled chol+trisolve (5000,144,144)rhs",
 #   jax.scipy trisolve (100,144,144):    1.75 ms/exec
 #   unrolled trisolve (100,144,144):     0.082 ms/exec  (21x)
 #
-# measured 2026-08-20, RIGHT-LOOKING shrinking-trailing form (r5 — no
-# tiny-dim einsum operands, no full-S copies; see core/linalg.py):
+# measured 2026-08-20, RIGHT-LOOKING shrinking-trailing form (r5 interim —
+# rank-1 substitution directly on the (..., b, m) RHS panels):
 #   unrolled chol (100,144,144):         0.216 ms/exec  (1.75x over r4)
-#   unrolled chol (5000,144,144):        see /tmp probe + BENCHMARKS.md
+#   unrolled chol+trisolve (100,...):    5.9   ms/exec  <- regression
+#   unrolled chol+trisolve (5000,...):   431   ms/exec  <- regression
+#
+# measured 2026-08-20, FINAL r5 form (diag-block inverses + MXU matmuls,
+# batch-last base recursions — see core/linalg.py):
+#   unrolled chol (100,144,144):         0.058 ms/exec  (46x over jnp)
+#   chol_with_jitter ladder (100,...):   6.8   ms/exec  (7 rungs)
+#   unrolled chol+trisolve (100,...):    0.57  ms/exec
+#   unrolled chol (5000,144,144):       17.0   ms/exec
+#   unrolled chol+trisolve (5000,...):  43.0   ms/exec  (10x over interim)
+# At batch 5000 the cost is HBM-bound on the blocked driver's
+# shrinking-S copies and panel temps (~3.4 us/matrix), not on the base
+# recursions — the batch-100 case fits VMEM and shows the pure-compute
+# floor. jnp.linalg.cholesky at (5000,144,144) never finished one slope
+# measurement inside a 580 s budget.

