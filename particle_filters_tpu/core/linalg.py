@@ -116,18 +116,39 @@ def _tri_inv_unrolled(l: jax.Array) -> jax.Array:
 
 
 _CHOL_BLOCK = 16
-_CHOL_UNROLL_MIN = 1    # above the cap the unrolled graph (and compile
-_CHOL_UNROLL_MAX = 160  # time) grows too far.
+_CHOL_UNROLL_MIN = 32   # below this, unrolled only when batched — see gate
+_CHOL_UNROLL_MAX = 160  # above the cap the unrolled graph (and compile
+# time) grows too far.
 # The cap was 128 through round 4, which silently excluded the skew-t
 # sensor network's d=144 (reference sn_skew notebook) — every Cholesky in
 # its UKF tracker and LEDH per-particle flow fell back to XLA's serial
 # While lowering. 160 covers it; compile time at 144 stays in seconds.
-# The floor was 32 ("below this XLA's loop is cheap") until r5 measured
-# it: the serial While costs 0.91 ms per (500, 16, 16) batch — the MAT
+_SMALL_DIM_BATCH_MIN = 128
+# Below-32 dims are where the dispatch balance flips with batch size:
+# XLA's serial While costs 0.91 ms per (500, 16, 16) batch — the MAT
 # LEDH's per-particle factorization shape — where the unrolled form is
-# below the timing noise floor (benchmarks/profile_small_chol.py). Only
-# the tiny (100, 8, 8) case measured marginally slower (0.042 vs
-# 0.015 ms, both negligible), so the window now starts at 1.
+# below the timing noise floor (benchmarks/profile_small_chol.py). But
+# at tiny static batches the many small unrolled ops LOSE to the loop:
+# routing everything below 32 to the unrolled form made the whole MAT
+# benchmark (d=16 trackers, 7-rung ladders) uniformly ~2.2× slower.
+# Gate: unrolled for 32 ≤ n ≤ 160 always, and for n < 32 only when the
+# static batch (leading-dims product) is ≥ _SMALL_DIM_BATCH_MIN.
+
+
+def _use_unrolled(shape, rhs_cols: int = 1) -> bool:
+    """Gate on the TRIANGULAR dim ``shape[-1]`` (n ≥ 32 always wins: the
+    serial While iterates n times no matter how small the batch); below
+    32 the unrolled form pays per-op dispatch that must amortize over
+    ``batch × rhs_cols`` independent columns."""
+    n = shape[-1]
+    if not (1 <= n <= _CHOL_UNROLL_MAX):
+        return False
+    if n >= _CHOL_UNROLL_MIN:
+        return True
+    batch = rhs_cols
+    for s in shape[:-2]:
+        batch *= int(s)
+    return batch >= _SMALL_DIM_BATCH_MIN
 
 
 @functools.partial(jax.jit, inline=True)
@@ -194,8 +215,7 @@ def chol_nojitter(a: jax.Array) -> jax.Array:
     fixed jitter). Failure contract matches ``jnp.linalg.cholesky``:
     non-SPD input yields NaNs in the factor.
     """
-    n = a.shape[-1]
-    if _CHOL_UNROLL_MIN <= n <= _CHOL_UNROLL_MAX:
+    if _use_unrolled(a.shape):
         return _chol_blocked_unrolled(a)
     return jnp.linalg.cholesky(a)
 
@@ -284,11 +304,10 @@ def tri_solve_lower(l: jax.Array, b_mat: jax.Array) -> jax.Array:
     fast-on-TPU regime), ``jax.scipy`` otherwise. Batched over leading
     axes either way.
     """
-    n = l.shape[-1]
     vec = b_mat.ndim == l.ndim - 1
     if vec:
         b_mat = b_mat[..., None]
-    if _CHOL_UNROLL_MIN <= n <= _CHOL_UNROLL_MAX:
+    if _use_unrolled(l.shape, rhs_cols=b_mat.shape[-1]):
         x = _trsm_left_lower_blocked(l, b_mat)
     else:
         x = jax.scipy.linalg.solve_triangular(l, b_mat, lower=True)
@@ -302,11 +321,10 @@ def tri_solve_lower_t(l: jax.Array, b_mat: jax.Array) -> jax.Array:
     transposed panels (``_trsm_left_lower_t_blocked`` — no flipped array
     copies); outside it, ``jax.scipy`` on Lᵀ.
     """
-    n = l.shape[-1]
     vec = b_mat.ndim == l.ndim - 1
     if vec:
         b_mat = b_mat[..., None]
-    if _CHOL_UNROLL_MIN <= n <= _CHOL_UNROLL_MAX:
+    if _use_unrolled(l.shape, rhs_cols=b_mat.shape[-1]):
         x = _trsm_left_lower_t_blocked(l, b_mat)
     else:
         x = jax.scipy.linalg.solve_triangular(
@@ -346,7 +364,7 @@ def chol_with_jitter(
     rungs = [jitter] + [jitter + initial * factor**k for k in range(max_tries)]
     eps = jnp.asarray(rungs, dtype=a.dtype).reshape((-1,) + (1,) * a.ndim)
     stacked = a[None, ...] + eps * eye  # (R, ..., n, n)
-    if _CHOL_UNROLL_MIN <= n <= _CHOL_UNROLL_MAX:
+    if _use_unrolled(stacked.shape):
         Ls = _chol_blocked_unrolled(stacked)
     else:
         Ls = jnp.linalg.cholesky(stacked)

@@ -207,6 +207,59 @@ class TestUnrolledBlockedSolvers:
         L = np.asarray(chol_nojitter(a))
         assert np.isnan(L).any()
 
+    def test_use_unrolled_gate_semantics(self):
+        """The routing gate: n in [32, 160] always unrolls (XLA's serial
+        While iterates n times no matter the batch); n < 32 unrolls only
+        when batch x rhs_cols amortizes the per-op dispatch; n > 160
+        never (graph/compile-size cap). Triangular solves gate on the
+        TRIANGULAR dim with the RHS width folded into the amortization
+        product — a (100, 144, 1) vector solve must unroll."""
+        from particle_filters_tpu.core.linalg import _use_unrolled
+
+        # window membership is on the factor dim
+        assert _use_unrolled((144, 144))
+        assert _use_unrolled((32, 32))
+        assert not _use_unrolled((200, 200))
+        # small dims need batch amortization
+        assert not _use_unrolled((16, 16))
+        assert not _use_unrolled((100, 8, 8))
+        assert _use_unrolled((500, 16, 16))
+        # rhs columns count toward amortization for the trisolves
+        assert not _use_unrolled((16, 16), rhs_cols=4)
+        assert _use_unrolled((16, 16), rhs_cols=128)
+        # the skew-t hot path: batched vector solve at the full dim
+        assert _use_unrolled((100, 144, 144), rhs_cols=1)
+
+    def test_small_dim_batched_matches_loop_path(self):
+        """Below the 32-dim window the gate flips on batch size; both
+        routes must agree numerically (the MAT LEDH shape (500,16,16)
+        takes the unrolled route, a single (16,16) the XLA loop)."""
+        from particle_filters_tpu.core.linalg import (
+            chol_nojitter,
+            tri_solve_lower,
+        )
+
+        rng = np.random.default_rng(9)
+        a = rng.standard_normal((500, 16, 16))
+        spd = (a @ np.swapaxes(a, -1, -2) + 16 * np.eye(16)).astype(
+            np.float32
+        )
+        L_batched = np.asarray(chol_nojitter(jnp.asarray(spd)))
+        L_single = np.stack(
+            [np.asarray(chol_nojitter(jnp.asarray(spd[i]))) for i in (0, 499)]
+        )
+        np.testing.assert_allclose(
+            L_batched[[0, 499]], L_single, rtol=2e-4, atol=2e-4
+        )
+        b = rng.standard_normal((500, 16)).astype(np.float32)
+        x_batched = np.asarray(
+            tri_solve_lower(jnp.asarray(L_batched), jnp.asarray(b))
+        )
+        x0 = np.asarray(
+            tri_solve_lower(jnp.asarray(L_batched[0]), jnp.asarray(b[0]))
+        )
+        np.testing.assert_allclose(x_batched[0], x0, rtol=1e-3, atol=1e-3)
+
 
 class TestCondSpdPower:
     """cond_spd_power — the flow filters' default cond(S) diagnostic
